@@ -1,0 +1,12 @@
+from .blas1 import (axpby, axpy, dot, dot2, norm1, norm2, norminf, relerr,
+                    update_xr)
+from .operators import (BsrEllOperator, CooOperator, DenseOperator,
+                        EllOperator, MatFreeOperator, default_dtype,
+                        device_operator)
+
+__all__ = [
+    "axpby", "axpy", "dot", "dot2", "norm1", "norm2", "norminf", "relerr",
+    "update_xr",
+    "BsrEllOperator", "CooOperator", "DenseOperator", "EllOperator",
+    "MatFreeOperator", "default_dtype", "device_operator",
+]

@@ -1,0 +1,275 @@
+"""Device sparse operators: the solve-phase matrix representations.
+
+TPU-native design (NOT a port of the reference's CSR loops):
+
+The reference's hot kernel is a row-loop CSR SpMV (fasp_blas_dcsr_mxv,
+base/src/BlaSpmvCSR.c:242) parallelized with OpenMP.  A scalar row loop is
+the wrong shape for a TPU: the VPU wants dense (8,128) lanes and the MXU wants
+batched small matmuls.  So device operators here use:
+
+- ELL (padded-row) layout: ``cols[n,k]``, ``vals[n,k]`` — SpMV is one gather
+  + one elementwise multiply + one row reduction, all dense ops that XLA fuses
+  into a single pass.  This is the same insight behind the reference's own
+  CSRL "rows grouped by equal nnz" cache format (fasp.h:277-306), taken to its
+  TPU conclusion.
+- Block-ELL for BSR: ``vals[nbrow,k,nb,nb]`` — SpMV becomes a batched (nb,nb)
+  x (nb,) contraction, the analog of the reference's hand-unrolled
+  nb∈{2,3,5,7} kernels (BlaSpmvBSR.c:301-412) but expressed once for any nb.
+- COO segment-sum fallback for pathologically irregular rows (padding blowup).
+- Dense operator for coarse AMG levels (maps straight onto the MXU).
+
+All operators are JAX pytrees: they can be passed through jit / vmap /
+shard_map boundaries, and a Krylov solver jitted once is reused for any
+matrix with the same padded shapes.
+
+Everything matrix-free in the reference (mxv_matfree, fasp.h:1109-1117)
+maps to: "an operator is anything with shape/dtype/__call__".
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import BSRMatrix, CSRMatrix
+
+
+def default_dtype():
+    """float64 when jax x64 is enabled (conformance mode, CPU), else float32
+    (performance mode, TPU).  Mirrors the reference's REAL=double while
+    acknowledging TPU f64 emulation cost (SURVEY.md hard-part #5)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EllOperator:
+    """Padded-ELL sparse operator.
+
+    Rows padded to ``k`` slots; empty slots point at column 0 with value 0.
+    ``n`` is the logical dimension; arrays may be row-padded to ``n_pad``
+    for tile alignment (extra rows are all-zero).
+    """
+
+    cols: jax.Array          # (n_pad, k) int32
+    vals: jax.Array          # (n_pad, k)
+    n: int = dataclasses.field(metadata=dict(static=True))
+    ncol: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.ncol)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.cols.shape[0] * self.cols.shape[1])
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """y = A @ x as gather + fused multiply-reduce."""
+        y = jnp.sum(self.vals * x[self.cols], axis=1)
+        return y[: self.n] if y.shape[0] != self.n else y
+
+    @classmethod
+    def from_csr(cls, A: CSRMatrix, dtype=None, row_align: int = 8,
+                 k_min: int = 1) -> "EllOperator":
+        dtype = dtype or default_dtype()
+        n, ncol = A.shape
+        nnz_per_row = A.row_nnz()
+        k = max(int(nnz_per_row.max()) if n else 0, k_min)
+        n_pad = _round_up(max(n, 1), row_align)
+        cols = np.zeros((n_pad, k), dtype=np.int32)
+        vals = np.zeros((n_pad, k), dtype=np.dtype(dtype))
+        # vectorized CSR->ELL scatter
+        if A.nnz:
+            rows = np.repeat(np.arange(n), nnz_per_row)
+            slot = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_per_row)
+            cols[rows, slot] = A.indices
+            vals[rows, slot] = A.data.astype(np.dtype(dtype))
+        return cls(jnp.asarray(cols), jnp.asarray(vals), n, ncol)
+
+    def padding_ratio(self, A_nnz: int) -> float:
+        return self.cols.size / max(A_nnz, 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CooOperator:
+    """Segment-sum COO operator: fallback for wildly irregular rows where
+    ELL padding would blow memory (long-tail degree distributions)."""
+
+    rows: jax.Array          # (nnz_pad,) int32, padded entries -> row n (dropped)
+    cols: jax.Array          # (nnz_pad,) int32
+    vals: jax.Array          # (nnz_pad,)
+    n: int = dataclasses.field(metadata=dict(static=True))
+    ncol: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.ncol)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        prod = self.vals * x[self.cols]
+        y = jax.ops.segment_sum(prod, self.rows, num_segments=self.n + 1)
+        return y[: self.n]
+
+    @classmethod
+    def from_csr(cls, A: CSRMatrix, dtype=None, pad_align: int = 128
+                 ) -> "CooOperator":
+        dtype = dtype or default_dtype()
+        n, ncol = A.shape
+        nnz = A.nnz
+        nnz_pad = _round_up(max(nnz, 1), pad_align)
+        rows = np.full(nnz_pad, n, dtype=np.int32)
+        cols = np.zeros(nnz_pad, dtype=np.int32)
+        vals = np.zeros(nnz_pad, dtype=np.dtype(dtype))
+        rows[:nnz] = np.repeat(np.arange(n), A.row_nnz())
+        cols[:nnz] = A.indices
+        vals[:nnz] = A.data.astype(np.dtype(dtype))
+        return cls(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+                   n, ncol)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BsrEllOperator:
+    """Block-ELL operator for BSR matrices.
+
+    SpMV contracts (nbrow, k, nb, nb) blocks against gathered (nbrow, k, nb)
+    vector blocks — a batched small matmul XLA lowers onto the MXU/VPU,
+    replacing the reference's per-nb unrolled scalar code
+    (BlaSpmvBSR.c:301-412).
+    """
+
+    cols: jax.Array          # (nbrow, k) int32 block-column ids
+    vals: jax.Array          # (nbrow, k, nb, nb)
+    nbrow: int = dataclasses.field(metadata=dict(static=True))
+    nbcol: int = dataclasses.field(metadata=dict(static=True))
+    nb: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n(self) -> int:
+        return self.nbrow * self.nb
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.nbrow * self.nb, self.nbcol * self.nb)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xb = x.reshape(self.nbcol, self.nb)
+        gathered = xb[self.cols]                       # (nbrow, k, nb)
+        y = jnp.einsum("rkab,rkb->ra", self.vals, gathered)
+        return y.reshape(-1)
+
+    @classmethod
+    def from_bsr(cls, A: BSRMatrix, dtype=None) -> "BsrEllOperator":
+        dtype = dtype or default_dtype()
+        nbrow, nbcol = A.shape
+        nb = A.nb
+        nnz_per_row = np.diff(A.indptr)
+        k = max(int(nnz_per_row.max()) if nbrow else 0, 1)
+        cols = np.zeros((nbrow, k), dtype=np.int32)
+        vals = np.zeros((nbrow, k, nb, nb), dtype=np.dtype(dtype))
+        if A.nnz_block:
+            rows = np.repeat(np.arange(nbrow), nnz_per_row)
+            slot = (np.arange(A.nnz_block)
+                    - np.repeat(A.indptr[:-1], nnz_per_row))
+            cols[rows, slot] = A.indices
+            vals[rows, slot] = A.data.astype(np.dtype(dtype))
+        return cls(jnp.asarray(cols), jnp.asarray(vals), nbrow, nbcol, nb)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DenseOperator:
+    """Dense operator for coarse AMG levels — a straight MXU matmul.
+
+    The reference gathers coarse grids to a serial direct solver
+    (PreMGCycle.c:156-202); on TPU the coarse level lives as a dense matrix
+    and both its SpMV and its factorization are dense ops.
+    """
+
+    mat: jax.Array           # (n, n)
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.mat.dtype
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.mat @ x
+
+    @classmethod
+    def from_csr(cls, A: CSRMatrix, dtype=None) -> "DenseOperator":
+        dtype = dtype or default_dtype()
+        return cls(jnp.asarray(A.to_dense(), dtype=dtype), A.nrow)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MatFreeOperator:
+    """Wrap an arbitrary jittable function as an operator
+    (reference: mxv_matfree, fasp.h:1109-1117)."""
+
+    fn: Callable = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    _dtype: Any = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.fn(x)
+
+
+# ELL density guard: if padded storage exceeds this multiple of nnz, use COO.
+_ELL_PADDING_LIMIT = 3.0
+
+
+def device_operator(A, dtype=None, prefer: Optional[str] = None):
+    """Build the best device operator for a host matrix.
+
+    ELL when row lengths are regular (the common PDE case), COO segment-sum
+    otherwise; BSR matrices get the block-ELL path.
+    """
+    if isinstance(A, BSRMatrix):
+        return BsrEllOperator.from_bsr(A, dtype=dtype)
+    if not isinstance(A, CSRMatrix):
+        raise TypeError(f"cannot build device operator from {type(A)}")
+    if prefer == "coo":
+        return CooOperator.from_csr(A, dtype=dtype)
+    if prefer == "dense" or (prefer is None and A.nrow <= 256):
+        return DenseOperator.from_csr(A, dtype=dtype)
+    ell = EllOperator.from_csr(A, dtype=dtype)
+    if prefer == "ell" or ell.padding_ratio(A.nnz) <= _ELL_PADDING_LIMIT:
+        return ell
+    return CooOperator.from_csr(A, dtype=dtype)

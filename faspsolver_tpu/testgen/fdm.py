@@ -1,0 +1,70 @@
+"""Finite-difference Poisson problem generators.
+
+Reference: test/src/FdmPoisson.c (5-point 2D / 7-point 3D generators) and
+test/main/testfdm2d.cpp / testfdm3d.cpp.  Used for manufactured-solution
+tests and for arbitrarily large scaling benchmarks (shipped SPE01 is tiny;
+BASELINE.md directs scaling runs to generated 3D Poisson).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..formats import CSRMatrix
+
+
+def poisson_2d(nx: int, ny: int = None, dtype=np.float64
+               ) -> CSRMatrix:
+    """5-point Laplacian on an nx x ny interior grid of the unit square,
+    Dirichlet boundary eliminated; scaled by 1/h^2 like the reference FDM
+    generator (test/src/FdmPoisson.c)."""
+    ny = ny if ny is not None else nx
+    hx2 = float((nx + 1) ** 2)
+    hy2 = float((ny + 1) ** 2)
+    Tx = sp.diags([-hx2, 2 * hx2, -hx2], [-1, 0, 1], shape=(nx, nx))
+    Ty = sp.diags([-hy2, 2 * hy2, -hy2], [-1, 0, 1], shape=(ny, ny))
+    A = sp.kron(sp.eye(ny), Tx) + sp.kron(Ty, sp.eye(nx))
+    return CSRMatrix.from_scipy(A.tocsr().astype(dtype))
+
+
+def poisson_3d(nx: int, ny: int = None, nz: int = None, dtype=np.float64
+               ) -> CSRMatrix:
+    """7-point Laplacian on the unit cube, Dirichlet eliminated."""
+    ny = ny if ny is not None else nx
+    nz = nz if nz is not None else nx
+
+    def t(n):
+        h2 = float((n + 1) ** 2)
+        return sp.diags([-h2, 2 * h2, -h2], [-1, 0, 1], shape=(n, n))
+
+    Ix, Iy, Iz = sp.eye(nx), sp.eye(ny), sp.eye(nz)
+    A = (sp.kron(Iz, sp.kron(Iy, t(nx)))
+         + sp.kron(Iz, sp.kron(t(ny), Ix))
+         + sp.kron(t(nz), sp.kron(Iy, Ix)))
+    return CSRMatrix.from_scipy(A.tocsr().astype(dtype))
+
+
+def poisson_2d_manufactured(nx: int, ny: int = None
+                            ) -> Tuple[CSRMatrix, np.ndarray, np.ndarray]:
+    """(A, b, u_exact) with u = sin(pi x) sin(pi y) sampled on the grid and
+    b = A u (discrete manufactured solution — exact to machine precision,
+    the same trick regression.c:118-126 uses with random solutions)."""
+    ny = ny if ny is not None else nx
+    A = poisson_2d(nx, ny)
+    xs = np.arange(1, nx + 1) / (nx + 1)
+    ys = np.arange(1, ny + 1) / (ny + 1)
+    u = np.outer(np.sin(np.pi * ys), np.sin(np.pi * xs)).reshape(-1)
+    b = A.matvec(u)
+    return A, b, u
+
+
+def poisson_3d_manufactured(nx: int
+                            ) -> Tuple[CSRMatrix, np.ndarray, np.ndarray]:
+    A = poisson_3d(nx)
+    g = np.arange(1, nx + 1) / (nx + 1)
+    s = np.sin(np.pi * g)
+    u = np.einsum("i,j,k->ijk", s, s, s).reshape(-1)
+    b = A.matvec(u)
+    return A, b, u

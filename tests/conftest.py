@@ -1,0 +1,29 @@
+"""Test configuration: run on CPU with 8 virtual devices and float64.
+
+Correctness tests use the CPU backend (x64 for conformance with the
+reference's double precision); multi-chip sharding tests use the 8 virtual
+devices.  Bench runs (bench.py) use the real TPU chip instead.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"   # override ambient axon/tpu setting
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFDATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="session")
+def refdata():
+    if not os.path.isdir(REFDATA):
+        pytest.skip("reference data not available")
+    return REFDATA
