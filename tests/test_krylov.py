@@ -1,0 +1,138 @@
+"""Krylov solver correctness: convergence on the reference corpus with
+iteration counts in the golden regime (BASELINE.md)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faspsolver_tpu.io import read_csrvec, read_mtx
+from faspsolver_tpu.krylov import (bicgstab, gcr, gmres, minres, pcg, vfgmres,
+                                   vgmres, JacobiPrecond)
+from faspsolver_tpu.ops import device_operator
+from faspsolver_tpu.testgen import poisson_2d_manufactured
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def fd_system(refdata):
+    A, b = read_csrvec(f"{refdata}/csrmat_FD.dat", f"{refdata}/rhs_FD.dat")
+    return A, device_operator(A, prefer="ell"), jnp.asarray(b)
+
+
+@pytest.fixture(scope="module")
+def poisson_sys():
+    A, b, u = poisson_2d_manufactured(24)
+    return A, device_operator(A, prefer="ell"), jnp.asarray(b), u
+
+
+def _check(A, res, b, tol=1e-6):
+    x = np.asarray(res.x)
+    r = np.asarray(b) - A.matvec(x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 10 * tol
+    assert bool(res.converged)
+
+
+def test_pcg_fd(fd_system):
+    A, op, b = fd_system
+    res = pcg(op, b, tol=1e-8, maxit=200)
+    _check(A, res, b, 1e-8)
+
+
+def test_pcg_jacobi(poisson_sys):
+    A, op, b, u = poisson_sys
+    res = pcg(op, b, M=JacobiPrecond.from_csr(A), tol=1e-10, maxit=2000)
+    _check(A, res, b, 1e-10)
+    assert np.max(np.abs(np.asarray(res.x) - u)) < 1e-6
+
+
+def test_pcg_stop_types(poisson_sys):
+    A, op, b, _ = poisson_sys
+    for st in (1, 2, 3):
+        res = pcg(op, b, tol=1e-9, maxit=2000, stop_type=st)
+        _check(A, res, b, 1e-6)
+
+
+def test_pcg_golden_iteration_count(refdata):
+    """Unpreconditioned CG on the FE Poisson system: reference golden count
+    is 244 iterations to relres 1e-12 (BASELINE.md / test/out/reg.out)."""
+    A, b = read_csrvec(f"{refdata}/csrmat_FE.dat", f"{refdata}/rhs_FE.dat")
+    op = device_operator(A, prefer="ell")
+    res = pcg(op, jnp.asarray(b), tol=1e-12, maxit=1000)
+    assert bool(res.converged)
+    assert abs(int(res.iters) - 244) <= 5   # same convergence regime
+
+
+def test_bicgstab(poisson_sys):
+    A, op, b, _ = poisson_sys
+    res = bicgstab(op, b, M=JacobiPrecond.from_csr(A), tol=1e-9, maxit=2000)
+    _check(A, res, b, 1e-8)
+
+
+def test_bicgstab_nonsymmetric(refdata):
+    # manufactured random solution, the reference regression methodology
+    # (regression_mm.c: b = A * rand)
+    A = read_mtx(f"{refdata}/jpwh_991.mtx")
+    op = device_operator(A, prefer="ell")
+    b = jnp.asarray(A.matvec(RNG.standard_normal(A.nrow)))
+    res = bicgstab(op, b, M=JacobiPrecond.from_csr(A), tol=1e-9, maxit=2000)
+    _check(A, res, b, 1e-8)
+
+
+def test_gmres(poisson_sys):
+    A, op, b, _ = poisson_sys
+    res = gmres(op, b, tol=1e-9, maxit=2000, restart=30)
+    _check(A, res, b, 1e-8)
+
+
+def test_gmres_nonsymmetric(refdata):
+    A = read_mtx(f"{refdata}/sherman1.mtx")
+    op = device_operator(A, prefer="ell")
+    b = jnp.asarray(A.matvec(RNG.standard_normal(A.nrow)))
+    res = gmres(op, b, M=JacobiPrecond.from_csr(A), tol=1e-9, maxit=2000,
+                restart=30)
+    _check(A, res, b, 1e-8)
+
+
+def test_vgmres(refdata):
+    A = read_mtx(f"{refdata}/sherman1.mtx")
+    op = device_operator(A, prefer="ell")
+    b = jnp.asarray(A.matvec(RNG.standard_normal(A.nrow)))
+    res = vgmres(op, b, M=JacobiPrecond.from_csr(A), tol=1e-9, maxit=2000,
+                 restart=30)
+    _check(A, res, b, 1e-8)
+
+
+def test_vfgmres(poisson_sys):
+    A, op, b, _ = poisson_sys
+    res = vfgmres(op, b, M=JacobiPrecond.from_csr(A), tol=1e-9, maxit=2000,
+                  restart=30)
+    _check(A, res, b, 1e-8)
+
+
+def test_minres(poisson_sys):
+    A, op, b, _ = poisson_sys
+    res = minres(op, b, M=JacobiPrecond.from_csr(A), tol=1e-9, maxit=2000)
+    _check(A, res, b, 1e-8)
+
+
+def test_gcr(poisson_sys):
+    A, op, b, _ = poisson_sys
+    res = gcr(op, b, M=JacobiPrecond.from_csr(A), tol=1e-9, maxit=2000,
+              restart=30)
+    _check(A, res, b, 1e-8)
+
+
+def test_safe_mode_returns_best(poisson_sys):
+    A, op, b, _ = poisson_sys
+    res = pcg(op, b, tol=1e-14, maxit=30, safe=True)   # will not converge
+    assert not bool(res.converged)
+    x = np.asarray(res.x)
+    # best iterate is still a meaningful partial solve
+    assert np.linalg.norm(np.asarray(b) - A.matvec(x)) < np.linalg.norm(b)
+
+
+def test_zero_rhs(poisson_sys):
+    A, op, b, _ = poisson_sys
+    res = pcg(op, jnp.zeros_like(b), tol=1e-10, maxit=100)
+    assert int(res.iters) == 0     # initial residual already below tol
+    assert np.allclose(np.asarray(res.x), 0.0)
