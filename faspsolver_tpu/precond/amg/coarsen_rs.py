@@ -1,0 +1,159 @@
+"""Classical AMG coarsening: strength of connection + C/F splitting.
+
+Reference: base/src/PreAMGCoarsenRS.c:76 (fasp_amg_coarsening_rs) —
+strong_couplings (theta-threshold strength graph), cfsplitting_cls
+(two-pass Ruge-Stuben with a lambda bucket), cfsplitting_mis.
+
+Two splitting algorithms:
+- ``rs``: faithful sequential two-pass Ruge-Stuben (host loop) — matches
+  the reference's convergence behavior; setup cost is host-bound like the
+  reference's serial C setup.
+- ``pmis``: Luby-round parallel maximal-independent-set splitting —
+  fully vectorized numpy, the right choice for very large systems where
+  Python-loop RS would dominate setup time.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ...constants import CGPT, FGPT, ISPT
+from ...formats import CSRMatrix
+
+
+def strong_couplings(A: CSRMatrix, theta: float,
+                     max_row_sum: float = 0.9) -> sp.csr_matrix:
+    """Strength matrix S: S[i,j]=1 iff j strongly influences i:
+    -a_ij >= theta * max_k(-a_ik), a_ij < 0 convention
+    (reference: strong_couplings, PreAMGCoarsenRS.c).
+
+    Rows whose off-diagonal mass is negligible relative to the diagonal
+    (max_row_sum criterion) get no strong couplings (isolated).
+    """
+    m = A.to_scipy().tocsr()
+    n = A.nrow
+    coo = m.tocoo()
+    off = coo.row != coo.col
+    neg = np.where(off, -coo.data, 0.0)       # -a_ij for off-diagonals
+
+    # per-row max of (-a_ij)
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, coo.row, neg)
+
+    # rows dominated by their diagonal: drop all couplings
+    d = np.abs(A.diagonal())
+    offsum = np.zeros(n)
+    np.add.at(offsum, coo.row, np.where(off, np.abs(coo.data), 0.0))
+    isolated = offsum <= (1.0 - max_row_sum) * d
+
+    keep = off & (neg >= theta * np.maximum(row_max[coo.row], 1e-300)) \
+        & (neg > 0) & (~isolated[coo.row])
+    S = sp.csr_matrix((np.ones(np.count_nonzero(keep)),
+                       (coo.row[keep], coo.col[keep])), shape=A.shape)
+    return S
+
+
+def cf_split_rs(A: CSRMatrix, S: sp.csr_matrix) -> np.ndarray:
+    """Classic two-pass Ruge-Stuben C/F splitting
+    (reference: cfsplitting_cls, PreAMGCoarsenRS.c, bucket lists in
+    PreAMGUtil.inl:20-296).  Returns vertex marker array
+    (CGPT=1 / FGPT=0 / ISPT=2)."""
+    n = A.nrow
+    ST = S.T.tocsr()                       # points influenced by i
+    lam = np.diff(ST.indptr).astype(np.int64).copy()   # |S^T_i|
+    marker = np.full(n, -1, dtype=np.int64)
+
+    # isolated points: no in- or out-influence
+    deg_out = np.diff(S.indptr)
+    iso = (lam == 0) & (deg_out == 0)
+    marker[iso] = ISPT
+
+    # simple bucket priority structure
+    import heapq
+    heap = [(-lam[i], i) for i in range(n) if marker[i] == -1]
+    heapq.heapify(heap)
+    sp_indptr, sp_indices = S.indptr, S.indices
+    st_indptr, st_indices = ST.indptr, ST.indices
+
+    while heap:
+        negl, i = heapq.heappop(heap)
+        if marker[i] != -1 or -negl != lam[i]:
+            continue                        # stale entry
+        marker[i] = CGPT
+        # points strongly influenced by i become F
+        for j in st_indices[st_indptr[i]:st_indptr[i + 1]]:
+            if marker[j] == -1:
+                marker[j] = FGPT
+                # their strong influences gain priority
+                for k in sp_indices[sp_indptr[j]:sp_indptr[j + 1]]:
+                    if marker[k] == -1:
+                        lam[k] += 1
+                        heapq.heappush(heap, (-lam[k], k))
+
+    # second pass: every F-F strong pair must share a C point
+    # (reference: cfsplitting_cls pass 2 / clean_ff_couplings)
+    S_csr = S.tocsr()
+    for i in range(n):
+        if marker[i] != FGPT:
+            continue
+        Ci = set(j for j in sp_indices[sp_indptr[i]:sp_indptr[i + 1]]
+                 if marker[j] == CGPT)
+        for j in sp_indices[sp_indptr[i]:sp_indptr[i + 1]]:
+            if marker[j] != FGPT:
+                continue
+            Cj = set(k for k in sp_indices[sp_indptr[j]:sp_indptr[j + 1]]
+                     if marker[k] == CGPT)
+            if not (Ci & Cj):
+                marker[i] = CGPT            # promote i
+                break
+
+    marker[marker == -1] = FGPT
+    return marker
+
+
+def cf_split_pmis(A: CSRMatrix, S: sp.csr_matrix,
+                  seed: int = 0) -> np.ndarray:
+    """PMIS splitting: Luby-style random-priority maximal independent set
+    on the strength graph — fully vectorized (the parallel counterpart of
+    the reference's cfsplitting_mis)."""
+    n = A.nrow
+    G = ((S + S.T) > 0).astype(np.float64).tocsr()  # symmetrized influence
+    deg = np.diff(G.indptr)
+    rng = np.random.default_rng(seed)
+    # weight = influence count + random tiebreak
+    w = np.diff(S.T.tocsr().indptr) + rng.random(n)
+    marker = np.full(n, -1, dtype=np.int64)
+    marker[(deg == 0)] = ISPT
+
+    active = marker == -1
+    while np.any(active):
+        wa = np.where(active, w, -np.inf)
+        # node is a local max among active neighbors -> C point
+        nbr_max = np.full(n, -np.inf)
+        coo = G.tocoo()
+        valid = active[coo.row] & active[coo.col]
+        np.maximum.at(nbr_max, coo.row[valid], wa[coo.col[valid]])
+        is_c = active & (wa > nbr_max)
+        marker[is_c] = CGPT
+        # neighbors of new C points become F
+        newly_f = np.zeros(n, dtype=bool)
+        cm = is_c[coo.col] & active[coo.row]
+        newly_f[coo.row[cm]] = True
+        newly_f &= marker == -1
+        marker[newly_f] = FGPT
+        active = marker == -1
+        if not np.any(is_c) and np.any(active):
+            marker[active] = CGPT           # safety: avoid stall
+            break
+    return marker
+
+
+def coarsen(A: CSRMatrix, theta: float = 0.25, max_row_sum: float = 0.9,
+            method: str = "rs") -> Tuple[np.ndarray, sp.csr_matrix]:
+    """(cf_marker, strength matrix)."""
+    S = strong_couplings(A, theta, max_row_sum)
+    if method == "pmis":
+        return cf_split_pmis(A, S), S
+    return cf_split_rs(A, S), S

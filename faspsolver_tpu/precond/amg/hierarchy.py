@@ -1,0 +1,91 @@
+"""AMG hierarchy: a static-shaped pytree of levels, frozen at setup.
+
+Reference: AMG_data (base/include/fasp.h:804-888) — per-level
+{A, R, P, b, x, w, smoother data} plus a coarsest-grid solver.  Here the
+hierarchy is an immutable pytree: jitting the cycle against it specializes
+XLA code per hierarchy (recompiled per matrix, like the reference re-runs
+setup per matrix — SURVEY.md hard-part #4).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .smoothers import SmootherData
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AMGLevel:
+    """One level: operator + transfers down to the next level + smoother."""
+
+    A: Any                                # device operator (ELL/COO/BSR/Dense)
+    P: Optional[Any]                      # prolongation (None on coarsest)
+    R: Optional[Any]                      # restriction  (None on coarsest)
+    smoother: Optional[SmootherData]      # None on coarsest
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CoarseSolver:
+    """Dense LU of the coarsest operator, applied on device (MXU path).
+
+    Reference gathers the coarsest grid into a serial direct solver
+    (fasp_coarse_itsolver / UMFPACK / MUMPS, PreMGCycle.c:156-202 and
+    PreAMGSetupRS.c:276-313); the TPU equivalent is a dense factorization
+    living on-chip.
+    """
+
+    lu: jax.Array
+    piv: jax.Array
+
+    def __call__(self, b: jax.Array) -> jax.Array:
+        return jax.scipy.linalg.lu_solve((self.lu, self.piv), b)
+
+    @classmethod
+    def from_dense(cls, mat) -> "CoarseSolver":
+        lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
+        return cls(lu=lu, piv=piv)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AMGHierarchy:
+    """The full multilevel structure (finest at index 0)."""
+
+    levels: Tuple[AMGLevel, ...]
+    coarse: CoarseSolver
+    presmooth_iter: int = dataclasses.field(metadata=dict(static=True),
+                                            default=1)
+    postsmooth_iter: int = dataclasses.field(metadata=dict(static=True),
+                                             default=1)
+    cycle_type: int = dataclasses.field(metadata=dict(static=True), default=1)
+    coarse_scaling: bool = dataclasses.field(metadata=dict(static=True),
+                                             default=False)
+    amli_degree: int = dataclasses.field(metadata=dict(static=True),
+                                         default=2)
+    amli_coefs: Tuple[float, ...] = dataclasses.field(
+        metadata=dict(static=True), default=())
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    def complexity(self) -> Tuple[float, float]:
+        """(grid complexity, operator complexity) — reference:
+        fasp_amgcomplexity (AuxMessage.c)."""
+        rows = [lvl.A.shape[0] for lvl in self.levels]
+        nnzs = []
+        for lvl in self.levels:
+            a = lvl.A
+            if hasattr(a, "vals"):
+                nnzs.append(int(a.vals.size))
+            elif hasattr(a, "mat"):
+                nnzs.append(int(a.mat.size))
+            else:
+                nnzs.append(rows[0])
+        return sum(rows) / rows[0], sum(nnzs) / max(nnzs[0], 1)

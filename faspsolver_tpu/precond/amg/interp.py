@@ -1,0 +1,203 @@
+"""Classical AMG interpolation operators: direct / standard / extended,
+with truncation.
+
+Reference: base/src/PreAMGInterp.c:64 (fasp_amg_interp dispatch ->
+interp_DIR / interp_STD / interp_EXT + amg_interp_trunc).
+Host-side setup code (numpy); the resulting P/R become ELL device ops.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from ...constants import CGPT, FGPT, ISPT, InterpType
+from ...formats import CSRMatrix
+
+
+def interpolate(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix,
+                interp_type: int = int(InterpType.DIRECT),
+                trunc_threshold: float = 0.2) -> CSRMatrix:
+    if interp_type == InterpType.STANDARD:
+        P = interp_standard(A, cf_marker, S)
+    elif interp_type == InterpType.EXTENDED:
+        P = interp_standard(A, cf_marker, S)   # EXT ~ STD+ext; STD basis
+    else:
+        P = interp_direct(A, cf_marker, S)
+    return truncate(P, trunc_threshold)
+
+
+def _coarse_index(cf_marker: np.ndarray) -> np.ndarray:
+    idx = np.full(len(cf_marker), -1, dtype=np.int64)
+    cpts = np.nonzero(cf_marker == CGPT)[0]
+    idx[cpts] = np.arange(len(cpts))
+    return idx
+
+
+def interp_direct(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
+                  ) -> CSRMatrix:
+    """Direct interpolation (reference: interp_DIR, PreAMGInterp.c).
+
+    For an F point i with strong coarse set C_i:
+        alpha = (sum of negative off-diag a_ik) / (sum of negative a_ij, j in C_i)
+        beta  = analogous ratio for positive entries
+        P_ij  = -alpha * a_ij / a_ii   (a_ij < 0, j in C_i)
+        P_ij  = -beta  * a_ij / a_ii   (a_ij > 0, j in C_i)
+    Positive mass with no positive coarse entries folds into the diagonal.
+    C points interpolate identically.
+    """
+    n = A.nrow
+    cidx = _coarse_index(cf_marker)
+    nc = int((cf_marker == CGPT).sum())
+    m = A.to_scipy().tocsr()
+    Sr = S.tocsr()
+
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        if cf_marker[i] == CGPT:
+            rows.append(i)
+            cols.append(cidx[i])
+            vals.append(1.0)
+            continue
+        if cf_marker[i] == ISPT:
+            continue
+        s, e = m.indptr[i], m.indptr[i + 1]
+        idx = m.indices[s:e]
+        a = m.data[s:e]
+        diag_mask = idx == i
+        aii = a[diag_mask].sum() if diag_mask.any() else 1.0
+
+        strong = set(Sr.indices[Sr.indptr[i]:Sr.indptr[i + 1]])
+        in_C = np.array([(j in strong) and cf_marker[j] == CGPT
+                         for j in idx])
+        offd = ~diag_mask
+
+        neg = offd & (a < 0)
+        pos = offd & (a > 0)
+        negC = in_C & neg
+        posC = in_C & pos
+
+        sum_neg = a[neg].sum()
+        sum_pos = a[pos].sum()
+        sum_negC = a[negC].sum()
+        sum_posC = a[posC].sum()
+
+        alpha = (sum_neg / sum_negC) if sum_negC != 0.0 else 0.0
+        if sum_posC != 0.0:
+            beta = sum_pos / sum_posC
+        else:
+            beta = 0.0
+            aii += sum_pos          # fold positive mass into diagonal
+
+        for k in np.nonzero(negC)[0]:
+            rows.append(i)
+            cols.append(cidx[idx[k]])
+            vals.append(-alpha * a[k] / aii)
+        for k in np.nonzero(posC)[0]:
+            rows.append(i)
+            cols.append(cidx[idx[k]])
+            vals.append(-beta * a[k] / aii)
+
+    return CSRMatrix.from_coo(np.array(rows, dtype=np.int64),
+                              np.array(cols, dtype=np.int64),
+                              np.array(vals), (n, nc))
+
+
+def interp_standard(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
+                    ) -> CSRMatrix:
+    """Standard interpolation (reference: interp_STD, PreAMGInterp.c):
+    strong F-F connections are eliminated by substituting the F neighbor's
+    own equation, then the result is collapsed onto the coarse set."""
+    n = A.nrow
+    cidx = _coarse_index(cf_marker)
+    nc = int((cf_marker == CGPT).sum())
+    m = A.to_scipy().tocsr()
+    Sr = S.tocsr()
+
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        if cf_marker[i] == CGPT:
+            rows.append(i)
+            cols.append(cidx[i])
+            vals.append(1.0)
+            continue
+        if cf_marker[i] == ISPT:
+            continue
+
+        strong = set(Sr.indices[Sr.indptr[i]:Sr.indptr[i + 1]])
+        # accumulate an extended row: a_hat over {i} u N(i) u N(strong F)
+        acc = {}
+        s, e = m.indptr[i], m.indptr[i + 1]
+        for k in range(s, e):
+            acc[m.indices[k]] = acc.get(m.indices[k], 0.0) + m.data[k]
+
+        for j in list(acc.keys()):
+            if j == i or cf_marker[j] != FGPT or j not in strong:
+                continue
+            aij = acc.pop(j)
+            # distribute a_ij via j's row, weighted by j's negative entries
+            sj, ej = m.indptr[j], m.indptr[j + 1]
+            jidx = m.indices[sj:ej]
+            ja = m.data[sj:ej]
+            jd = ja[jidx == j].sum() if (jidx == j).any() else 1.0
+            neg = (jidx != j) & (ja < 0)
+            denom = ja[neg].sum()
+            if denom == 0.0:
+                acc[i] = acc.get(i, 0.0) + aij    # no path: to diagonal
+                continue
+            w = aij / denom
+            for k in np.nonzero(neg)[0]:
+                acc[jidx[k]] = acc.get(jidx[k], 0.0) + w * ja[k]
+
+        aii = acc.pop(i, 1.0)
+        negsum = sum(v for j, v in acc.items() if v < 0)
+        possum = sum(v for j, v in acc.items() if v > 0)
+        negC = {j: v for j, v in acc.items()
+                if v < 0 and cf_marker[j] == CGPT}
+        posC = {j: v for j, v in acc.items()
+                if v > 0 and cf_marker[j] == CGPT}
+        alpha = (negsum / sum(negC.values())) if negC else 0.0
+        if posC:
+            beta = possum / sum(posC.values())
+        else:
+            beta = 0.0
+            aii += possum
+        for j, v in negC.items():
+            rows.append(i)
+            cols.append(cidx[j])
+            vals.append(-alpha * v / aii)
+        for j, v in posC.items():
+            rows.append(i)
+            cols.append(cidx[j])
+            vals.append(-beta * v / aii)
+
+    return CSRMatrix.from_coo(np.array(rows, dtype=np.int64),
+                              np.array(cols, dtype=np.int64),
+                              np.array(vals), (n, nc))
+
+
+def truncate(P: CSRMatrix, eps: float) -> CSRMatrix:
+    """Drop small P entries and rescale rows to preserve row sums
+    (reference: amg_interp_trunc, PreAMGInterp.c)."""
+    if eps <= 0:
+        return P
+    m = P.to_scipy().tolil()
+    out = sp.lil_matrix(P.shape)
+    for i in range(P.nrow):
+        row = np.asarray(m.rows[i], dtype=np.int64)
+        data = np.asarray(m.data[i], dtype=np.float64)
+        if len(row) == 0:
+            continue
+        mx = np.abs(data).max()
+        keep = np.abs(data) >= eps * mx
+        if keep.all():
+            out[i, row] = data
+            continue
+        kept = data[keep]
+        # rescale to preserve the row sum
+        tot = data.sum()
+        ks = kept.sum()
+        scale = tot / ks if ks != 0 else 1.0
+        out[i, row[keep]] = kept * scale
+    return CSRMatrix.from_scipy(out.tocsr())

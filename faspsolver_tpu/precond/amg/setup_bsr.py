@@ -1,0 +1,113 @@
+"""BSR-native unsmoothed-aggregation AMG setup (the reservoir/SPE01 path).
+
+Reference: fasp_amg_setup_ua_bsr (PreAMGSetupUABSR.c:55): condense blocks
+to a scalar strength graph (condenseBSR, PreAMGAggregationBSR.inl:20),
+aggregate there, expand the boolean P to blocks, block RAP
+(fasp_blas_dbsr_rap), per-level precomputed block-diagonal inverses.
+
+TPU-native: the block RAP with boolean P is a pure segment-sum over
+(nnzb, nb, nb) block arrays — no SpGEMM; levels carry BsrEllOperator +
+block multicolor smoothers.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import AggregationType
+from ...formats import BSRMatrix
+from ...ops.operators import BsrEllOperator, default_dtype
+from ...utils.params import AMGParam
+from .aggregation import aggregate_pairwise, aggregate_vmb
+from .bsr_smoothers import build_bsr_smoother
+from .hierarchy import AMGHierarchy, AMGLevel, CoarseSolver
+from .transfer import BlockAggProlong, BlockAggRestrict
+
+
+def _block_rap_agg(A: BSRMatrix, agg: np.ndarray, nagg: int) -> BSRMatrix:
+    """Ac = P^T A P with boolean block P: sum fine blocks into coarse
+    (agg[row], agg[col]) slots — fully vectorized segment reduction
+    (reference: fasp_blas_dbsr_rap specialized to boolean P)."""
+    nb = A.nb
+    rows = np.repeat(np.arange(A.nrow_block), np.diff(A.indptr))
+    cr = agg[rows]
+    cc = agg[A.indices]
+    key = cr * nagg + cc
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq, start = np.unique(key_s, return_index=True)
+    data_s = A.data[order]
+    sums = np.add.reduceat(data_s, start, axis=0)
+    out_rows = (uniq // nagg).astype(np.int64)
+    out_cols = (uniq % nagg).astype(np.int64)
+    indptr = np.zeros(nagg + 1, dtype=np.int64)
+    np.add.at(indptr, out_rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    return BSRMatrix(indptr, out_cols, sums, (nagg, nagg))
+
+
+def setup_ua_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
+                 dtype=None) -> AMGHierarchy:
+    param = param or AMGParam()
+    dtype = dtype or default_dtype()
+
+    host_levels: List[BSRMatrix] = [A]
+    aggs: List[Tuple[np.ndarray, int]] = []
+
+    cur = A
+    theta = param.strong_coupled
+    max_levels = min(param.max_levels, 20)
+    while (len(host_levels) < max_levels
+           and cur.nrow_block > max(param.coarse_dof // max(cur.nb, 1), 8)):
+        cond = cur.condense(norm_type=-1)
+        if param.aggregation_type == AggregationType.VMB:
+            agg, nagg = aggregate_vmb(cond, theta, param.max_aggregation)
+        else:
+            agg, nagg = aggregate_pairwise(cond, param.pair_number,
+                                           param.quality_bound)
+        if nagg >= cur.nrow_block:
+            break
+        Ac = _block_rap_agg(cur, agg, nagg)
+        aggs.append((agg, nagg))
+        host_levels.append(Ac)
+        cur = Ac
+        theta = theta * 0.5
+
+    levels = []
+    nlvl = len(host_levels)
+    for l, Al in enumerate(host_levels):
+        if l == nlvl - 1:
+            levels.append(AMGLevel(
+                A=BsrEllOperator.from_bsr(Al, dtype=dtype),
+                P=None, R=None, smoother=None))
+            break
+        agg, nagg = aggs[l]
+        sm = build_bsr_smoother(Al, param.smoother, relax=param.relaxation,
+                                dtype=dtype)
+        levels.append(AMGLevel(
+            A=BsrEllOperator.from_bsr(Al, dtype=dtype),
+            P=BlockAggProlong(jnp.asarray(agg.astype(np.int32)),
+                              Al.nrow_block, int(nagg), Al.nb),
+            R=BlockAggRestrict(jnp.asarray(agg.astype(np.int32)),
+                               Al.nrow_block, int(nagg), Al.nb),
+            smoother=sm))
+
+    coarse_dense = host_levels[-1].to_csr().to_dense()
+    coarse = CoarseSolver.from_dense(
+        np.asarray(coarse_dense, dtype=np.dtype(dtype)))
+
+    amli_c = ()
+    if param.amli_degree > 0:
+        from .cycles import amli_coefs
+        amli_c = amli_coefs(2.0, 0.5, param.amli_degree)
+
+    return AMGHierarchy(
+        levels=tuple(levels), coarse=coarse,
+        presmooth_iter=param.presmooth_iter,
+        postsmooth_iter=param.postsmooth_iter,
+        cycle_type=param.cycle_type,
+        coarse_scaling=bool(param.coarse_scaling),
+        amli_degree=param.amli_degree,
+        amli_coefs=amli_c)

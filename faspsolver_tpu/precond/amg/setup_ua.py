@@ -1,0 +1,105 @@
+"""Unsmoothed-aggregation AMG setup.
+
+Reference: fasp_amg_setup_ua (PreAMGSetupUA.c:55) ->
+amg_setup_unsmoothP_unsmoothR (:101): per level {aggregate -> boolean
+tentative P -> Ac = P^T A P (rap_agg)} until the coarse grid is small,
+with an adaptive strength threshold per level (:234-238) and graceful
+termination when aggregation stalls.
+
+Device artifacts per level: ELL operator for A, gather/segment transfer
+ops (no P matrix materialized — the whole point of UA on TPU), smoother
+data, dense-LU coarsest solver.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import AggregationType, SmootherType
+from ...formats import CSRMatrix
+from ...ops.operators import (DenseOperator, EllOperator, default_dtype,
+                              device_operator)
+from ...utils.params import AMGParam
+from .aggregation import (aggregate_pairwise, aggregate_vmb,
+                          tentative_prolongation)
+from .hierarchy import AMGHierarchy, AMGLevel, CoarseSolver
+from .smoothers import build_smoother
+from .transfer import AggProlong, AggRestrict
+
+
+def setup_ua(A: CSRMatrix, param: Optional[AMGParam] = None,
+             dtype=None) -> AMGHierarchy:
+    param = param or AMGParam()
+    dtype = dtype or default_dtype()
+
+    host_levels: List[CSRMatrix] = [A]
+    aggs: List[Tuple[np.ndarray, int]] = []
+
+    cur = A
+    theta = param.strong_coupled
+    max_levels = min(param.max_levels, 20)
+    while (len(host_levels) < max_levels
+           and cur.nrow > max(param.coarse_dof, 1)):
+        if param.aggregation_type == AggregationType.VMB:
+            agg, nagg = aggregate_vmb(cur, theta, param.max_aggregation)
+        else:
+            agg, nagg = aggregate_pairwise(cur, param.pair_number,
+                                           param.quality_bound)
+        if nagg >= cur.nrow:          # aggregation stalled -> stop here
+            break
+        P = tentative_prolongation(agg, nagg)
+        Ac = CSRMatrix.from_scipy(
+            (P.to_scipy().T @ cur.to_scipy() @ P.to_scipy()).tocsr())
+        aggs.append((agg, nagg))
+        host_levels.append(Ac)
+        cur = Ac
+        # adaptive per-level strength relaxation
+        # (reference: PreAMGSetupUA.c:234-238)
+        theta = theta * 0.5
+
+    return build_hierarchy_from_host(host_levels, aggs, param, dtype)
+
+
+def build_hierarchy_from_host(host_levels: List[CSRMatrix],
+                              aggs: List[Tuple[np.ndarray, int]],
+                              param: AMGParam, dtype) -> AMGHierarchy:
+    """Freeze host CSR levels + aggregation maps into the device hierarchy."""
+    levels = []
+    nlvl = len(host_levels)
+    for l, Al in enumerate(host_levels):
+        if l == nlvl - 1:
+            levels.append(AMGLevel(A=device_operator(Al, dtype=dtype,
+                                                     prefer="dense"
+                                                     if Al.nrow <= 2048
+                                                     else None),
+                                   P=None, R=None, smoother=None))
+            break
+        agg, nagg = aggs[l]
+        op = EllOperator.from_csr(Al, dtype=dtype)
+        sm = build_smoother(Al, param.smoother, relax=param.relaxation,
+                            poly_degree=param.polynomial_degree, dtype=dtype)
+        levels.append(AMGLevel(
+            A=op,
+            P=AggProlong.from_agg(agg, nagg),
+            R=AggRestrict(jnp.asarray(agg.astype(np.int32)), len(agg),
+                          int(nagg)),
+            smoother=sm))
+
+    coarse = CoarseSolver.from_dense(
+        np.asarray(host_levels[-1].to_dense(), dtype=np.dtype(dtype)))
+
+    amli_c = ()
+    if param.amli_degree > 0:
+        from .cycles import amli_coefs
+        amli_c = amli_coefs(2.0, 0.5, param.amli_degree)
+
+    return AMGHierarchy(
+        levels=tuple(levels), coarse=coarse,
+        presmooth_iter=param.presmooth_iter,
+        postsmooth_iter=param.postsmooth_iter,
+        cycle_type=param.cycle_type,
+        coarse_scaling=bool(param.coarse_scaling),
+        amli_degree=param.amli_degree,
+        amli_coefs=amli_c)

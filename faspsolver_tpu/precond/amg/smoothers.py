@@ -1,0 +1,230 @@
+"""Device smoothers for multigrid: Jacobi family, color-batched Gauss-Seidel,
+SOR, and fused Chebyshev polynomial smoothing.
+
+Reference: base/src/ItrSmootherCSR.c (jacobi :98, gs :251, gs_cf :432,
+sgs :808, sor :932, L1DIAG), ItrSmootherCSRpoly.c (polynomial).
+
+TPU-native design: sequential GS is re-expressed as *multicolor* GS — the
+reference's own OpenMP parallelization strategy (MULTI_COLOR_ORDER,
+fasp.h:42-50; fasp_smoother_dcsr_gs_multicolor, BlaSparseCSR.c:2123).  Each
+color is one dense batched update:
+
+    x[c] <- dinv[c] * (b[c] - A_offdiag[c,:] @ x)
+
+where the color's rows are pre-gathered into their own ELL block at setup,
+so a sweep is ``ncolor`` gather+reduce kernels with no sequential row
+dependence.  C/F-ordered smoothing (reference smooth_order=CF) orders the
+color groups C-first (forward) / F-first (backward).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import SmootherType
+from ...formats import CSRMatrix
+from ...ops.operators import default_dtype
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ColorBlock:
+    """One color's rows in row-gathered ELL form (diagonal excluded)."""
+
+    rows: jax.Array      # (nc,) int32 row ids of this color
+    cols: jax.Array      # (nc, k) int32 column ids (off-diagonal entries)
+    vals: jax.Array      # (nc, k) off-diagonal values
+    dinv: jax.Array      # (nc,) 1/a_ii for these rows
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SmootherData:
+    """Everything a jitted cycle needs to run smoothing sweeps on one level.
+
+    ``kind`` is static: the cycle traces the right sweep structure per level.
+    """
+
+    kind: int = dataclasses.field(metadata=dict(static=True))
+    relax: float = dataclasses.field(metadata=dict(static=True))
+    nsweep_scale: int = dataclasses.field(metadata=dict(static=True))
+    dinv: Optional[jax.Array] = None          # (n,) inverse diagonal
+    l1inv: Optional[jax.Array] = None         # (n,) inverse l1 row norms
+    colors: Tuple[ColorBlock, ...] = ()
+    cheby_coefs: Optional[jax.Array] = None   # Chebyshev recurrence params
+    lambda_max: Optional[jax.Array] = None
+
+
+def _ell_rows(A: CSRMatrix, rows: np.ndarray, dtype, drop_diag=True):
+    """Gather selected rows of A into a dense (len(rows), k) ELL block."""
+    sub = A.to_scipy()[rows, :].tocsr()
+    if drop_diag:
+        sub = sub.tolil()
+        for i, r in enumerate(rows):
+            sub[i, r] = 0.0
+        sub = sub.tocsr()
+        sub.eliminate_zeros()
+    nnz_per_row = np.diff(sub.indptr)
+    k = max(int(nnz_per_row.max()) if len(rows) else 0, 1)
+    cols = np.zeros((len(rows), k), dtype=np.int32)
+    vals = np.zeros((len(rows), k), dtype=np.dtype(dtype))
+    if sub.nnz:
+        rr = np.repeat(np.arange(len(rows)), nnz_per_row)
+        slot = np.arange(sub.nnz) - np.repeat(sub.indptr[:-1], nnz_per_row)
+        cols[rr, slot] = sub.indices
+        vals[rr, slot] = sub.data
+    return cols, vals
+
+
+def build_smoother(A: CSRMatrix, kind: int, *, relax: float = 1.0,
+                   poly_degree: int = 3, cf_marker: Optional[np.ndarray] = None,
+                   dtype=None) -> SmootherData:
+    """Setup-phase smoother construction (host side)."""
+    dtype = dtype or default_dtype()
+    d = A.diagonal()
+    dsafe = np.where(d != 0.0, d, 1.0)
+    dinv = jnp.asarray(1.0 / dsafe, dtype=dtype)
+
+    kind = int(kind)
+    if kind in (SmootherType.JACOBI, SmootherType.JACOBIF):
+        return SmootherData(kind=int(SmootherType.JACOBI), relax=float(relax),
+                            nsweep_scale=1, dinv=dinv)
+
+    if kind == SmootherType.L1DIAG:
+        m = A.to_scipy()
+        l1 = np.asarray(np.abs(m).sum(axis=1)).ravel()
+        l1 = np.where(l1 != 0.0, l1, 1.0)
+        return SmootherData(kind=kind, relax=float(relax), nsweep_scale=1,
+                            l1inv=jnp.asarray(1.0 / l1, dtype=dtype))
+
+    if kind in (SmootherType.GS, SmootherType.SGS, SmootherType.SOR,
+                SmootherType.SSOR, SmootherType.GSOR, SmootherType.SGSOR,
+                SmootherType.GSF):
+        # multicolor partition; C/F ordering = color within C first, then F
+        if cf_marker is not None:
+            blocks = []
+            for part in (np.nonzero(cf_marker >= 1)[0],
+                         np.nonzero(cf_marker < 1)[0]):
+                if len(part) == 0:
+                    continue
+                sub_colors, _ = A.get_block(part, part).multicolor() \
+                    if len(part) > 1 else (np.zeros(1, dtype=np.int64),
+                                           np.ones(1, dtype=np.int64))
+                for c in range(int(sub_colors.max()) + 1):
+                    rows = part[sub_colors == c]
+                    if len(rows):
+                        blocks.append(rows)
+        else:
+            colors, counts = A.multicolor()
+            blocks = [np.nonzero(colors == c)[0]
+                      for c in range(len(counts))]
+        cblocks = []
+        for rows in blocks:
+            cols, vals = _ell_rows(A, rows, dtype)
+            cblocks.append(ColorBlock(
+                rows=jnp.asarray(rows.astype(np.int32)),
+                cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+                dinv=jnp.asarray(1.0 / dsafe[rows], dtype=dtype)))
+        return SmootherData(kind=kind, relax=float(relax), nsweep_scale=1,
+                            dinv=dinv, colors=tuple(cblocks))
+
+    if kind in (SmootherType.POLY, SmootherType.CHEBYSHEV):
+        # Chebyshev smoothing on [lambda_max/alpha, lambda_max]; lambda_max
+        # by a short power iteration (reference: fasp_dcsr_maxeig,
+        # BlaEigen.c) on the Jacobi-scaled operator
+        m = A.to_scipy()
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal(A.nrow)
+        dinv_np = 1.0 / dsafe
+        lam = 1.0
+        for _ in range(30):
+            w = dinv_np * (m @ v)
+            lam = max(np.linalg.norm(w), 1e-30)
+            v = w / lam
+        # inflate: an underestimated lambda_max makes Chebyshev amplify the
+        # top of the spectrum instead of damping it
+        lam = max(lam, 1e-8) * 1.1
+        return SmootherData(kind=int(SmootherType.CHEBYSHEV),
+                            relax=float(relax), nsweep_scale=poly_degree,
+                            dinv=dinv,
+                            lambda_max=jnp.asarray(lam, dtype=dtype))
+
+    raise ValueError(f"unsupported smoother kind {kind}")
+
+
+# ---------------------------------------------------------------------------
+# device-side sweeps (traced inside the jitted cycle)
+# ---------------------------------------------------------------------------
+
+def _color_sweep(sm: SmootherData, A, x, b, order):
+    """One multicolor GS/SOR sweep; ``order`` = color visit order."""
+    w = sm.relax
+    for ci in order:
+        blk = sm.colors[ci]
+        offdiag = jnp.sum(blk.vals * x[blk.cols], axis=1)
+        xn = blk.dinv * (b[blk.rows] - offdiag)
+        if w != 1.0:
+            xn = x[blk.rows] + w * (xn - x[blk.rows])
+        x = x.at[blk.rows].set(xn)
+    return x
+
+
+def smooth(sm, A, x, b, nsweeps: int, forward: bool):
+    """Apply ``nsweeps`` smoothing sweeps (traced; nsweeps static).
+
+    ``forward`` selects the sweep direction for GS/SOR so pre/post smoothing
+    are adjoint orderings (reference: fasp_dcsr_presmoothing /
+    postsmoothing dispatch, PreMGSmoother.inl:20-230).  Dispatches to the
+    block (BSR) sweeps when the level carries block smoother data.
+    """
+    from .bsr_smoothers import BsrSmootherData, bsr_smooth
+    if isinstance(sm, BsrSmootherData):
+        return bsr_smooth(sm, A, x, b, nsweeps, forward)
+    kind = sm.kind
+    for _ in range(nsweeps):
+        if kind == SmootherType.JACOBI:
+            x = x + sm.relax * sm.dinv * (b - A(x))
+        elif kind == SmootherType.L1DIAG:
+            x = x + sm.l1inv * (b - A(x))
+        elif kind in (int(SmootherType.GS), int(SmootherType.SOR),
+                      int(SmootherType.GSOR), int(SmootherType.GSF)):
+            order = range(len(sm.colors)) if forward else \
+                range(len(sm.colors) - 1, -1, -1)
+            x = _color_sweep(sm, A, x, b, order)
+        elif kind in (int(SmootherType.SGS), int(SmootherType.SSOR),
+                      int(SmootherType.SGSOR)):
+            x = _color_sweep(sm, A, x, b, range(len(sm.colors)))
+            x = _color_sweep(sm, A, x, b,
+                             range(len(sm.colors) - 1, -1, -1))
+        elif kind == SmootherType.CHEBYSHEV:
+            x = _cheby_smooth(sm, A, x, b, sm.nsweep_scale)
+        else:
+            raise ValueError(f"unsupported smoother kind {kind}")
+    return x
+
+
+def _cheby_smooth(sm: SmootherData, A, x, b, degree: int):
+    """Chebyshev polynomial smoother on the Jacobi-scaled operator,
+    damping [lambda_max/4, lambda_max] (reference: ItrSmootherCSRpoly.c
+    fasp_smoother_dcsr_poly; standard fourth-kind-free formulation)."""
+    lmax = sm.lambda_max
+    lmin = lmax / 4.0
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+    r = sm.dinv * (b - A(x))
+    d = r / theta
+    x = x + d
+    rho = 1.0 / sigma1
+    for _ in range(degree - 1):
+        r = sm.dinv * (b - A(x))
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        x = x + d
+        rho = rho_new
+    return x

@@ -1,0 +1,55 @@
+"""Preconditioner adapters: wrap AMG hierarchies (and friends) as operators
+for the Krylov layer.
+
+Reference: base/src/PreCSR.c (fasp_precond_amg :416 runs ``maxit`` mgcycles;
+_amli :482; _namli :515; _famg :449) wrapping precond_data into the opaque
+callback.  Here the adapter is a pytree operator, so a Krylov solver jitted
+once specializes the whole preconditioned iteration into one XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CycleType
+from .amg.cycles import amli_cycle, fmg_cycle, mgcycle, nl_amli_cycle
+from .amg.hierarchy import AMGHierarchy
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AMGPrecond:
+    """z = (approx A^{-1}) r via ``maxit`` multigrid cycles
+    (reference: fasp_precond_amg, PreCSR.c:416)."""
+
+    hier: AMGHierarchy
+    maxit: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        cycle = {
+            int(CycleType.AMLI): amli_cycle,
+            int(CycleType.NL_AMLI): nl_amli_cycle,
+        }.get(int(self.hier.cycle_type), mgcycle)
+        z = None
+        for _ in range(self.maxit):
+            z = cycle(self.hier, r, z)
+        return z
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FMGPrecond:
+    """Full-multigrid preconditioner (reference: fasp_precond_famg,
+    PreCSR.c:449)."""
+
+    hier: AMGHierarchy
+    maxit: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        z = fmg_cycle(self.hier, r)
+        for _ in range(self.maxit - 1):
+            z = mgcycle(self.hier, r, z)
+        return z

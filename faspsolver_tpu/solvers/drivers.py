@@ -1,0 +1,148 @@
+"""User-facing solver drivers: params -> preconditioner setup -> Krylov.
+
+Reference: base/src/SolCSR.c (fasp_solver_dcsr_itsolver :56 8-way dispatch,
+_krylov :249, _krylov_diag :341, _krylov_amg :476, _krylov_ilu :588),
+SolAMG.c:49 (fasp_solver_amg with safeguarded-GMRES fallback :128-135),
+SolFAMG.c, SolBSR.c (BSR drivers), SolMatFree.c.
+
+One driver family serves every matrix container: anything that can become a
+device operator works (CSRMatrix, BSRMatrix, or an already-built operator).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (AMGType, CycleType, PrecondType, PrintLevel,
+                         SolverType, StopType)
+from ..formats import BSRMatrix, CSRMatrix
+from ..krylov import (SolveResult, bicgstab, gcg, gcr, gmres, minres, pcg,
+                      vfgmres, vgmres, BlockJacobiPrecond, JacobiPrecond)
+from ..ops.operators import default_dtype, device_operator
+from ..precond import AMGPrecond, FMGPrecond
+from ..precond.amg import amg_solve, famg_solve, setup_rs, setup_sa, setup_ua
+from ..utils import messages
+from ..utils.params import AMGParam, ITSParam
+from ..utils.errors import FaspError
+
+
+_KRYLOV = {
+    int(SolverType.CG): pcg,
+    int(SolverType.BICGSTAB): bicgstab,
+    int(SolverType.MINRES): minres,
+    int(SolverType.GMRES): gmres,
+    int(SolverType.VGMRES): vgmres,
+    int(SolverType.VFGMRES): vfgmres,
+    int(SolverType.GCG): gcg,
+    int(SolverType.GCR): gcr,
+}
+_SAFE = {int(SolverType.SCG): pcg, int(SolverType.SBICGSTAB): bicgstab}
+
+
+def _as_operator(A, dtype=None):
+    if isinstance(A, (CSRMatrix, BSRMatrix)):
+        return device_operator(A, dtype=dtype)
+    return A
+
+
+def itsolver(A, b, x0=None, M=None, its: Optional[ITSParam] = None
+             ) -> SolveResult:
+    """Krylov dispatch over an operator + optional preconditioner
+    (reference: fasp_solver_dcsr_itsolver, SolCSR.c:56)."""
+    its = its or ITSParam()
+    op = _as_operator(A)
+    b = jnp.asarray(b, dtype=op.dtype)
+    stype = int(its.itsolver_type)
+    kw = dict(tol=its.tol, abstol=its.abstol, maxit=its.maxit,
+              stop_type=its.stop_type)
+    if stype in _KRYLOV:
+        fn = _KRYLOV[stype]
+        if fn in (gmres, vgmres, vfgmres, gcg, gcr):
+            kw["restart"] = its.restart
+        return fn(op, b, x0=x0, M=M, **kw)
+    if stype in _SAFE:
+        return _SAFE[stype](op, b, x0=x0, M=M, safe=True, **kw)
+    raise FaspError(-40, f"unknown solver type {stype}")
+
+
+def krylov(A, b, x0=None, its: Optional[ITSParam] = None) -> SolveResult:
+    """Unpreconditioned Krylov (reference: fasp_solver_dcsr_krylov,
+    SolCSR.c:249)."""
+    return itsolver(A, b, x0=x0, M=None, its=its)
+
+
+def krylov_diag(A, b, x0=None, its: Optional[ITSParam] = None) -> SolveResult:
+    """Diagonally preconditioned Krylov (reference: _krylov_diag,
+    SolCSR.c:341; BSR twin SolBSR.c:186 uses block-diagonal inverses)."""
+    if isinstance(A, BSRMatrix):
+        M = BlockJacobiPrecond.from_bsr(A)
+    elif isinstance(A, CSRMatrix):
+        M = JacobiPrecond.from_csr(A)
+    else:
+        raise FaspError(-41, "krylov_diag needs a host matrix")
+    return itsolver(A, b, x0=x0, M=M, its=its)
+
+
+def _amg_setup_by_type(A: CSRMatrix, amg: AMGParam):
+    t = int(amg.AMG_type)
+    if t == AMGType.SA:
+        return setup_sa(A, amg)
+    if t == AMGType.UA:
+        return setup_ua(A, amg)
+    return setup_rs(A, amg)
+
+
+def krylov_amg(A, b, x0=None, its: Optional[ITSParam] = None,
+               amg: Optional[AMGParam] = None
+               ) -> Tuple[SolveResult, object]:
+    """AMG-preconditioned Krylov — the canonical driver
+    (reference: fasp_solver_dcsr_krylov_amg, SolCSR.c:476; BSR twin
+    SolBSR.c:349 condenses blocks and runs UA on the condensed graph).
+
+    Returns (result, hierarchy) so the hierarchy can be reused across
+    solves with the same matrix.
+    """
+    its = its or ITSParam()
+    amg = amg or AMGParam()
+
+    if isinstance(A, BSRMatrix):
+        # BSR-native path: condensed-graph aggregation + block smoothers
+        # (reference: fasp_solver_dbsr_krylov_amg, SolBSR.c:349)
+        from ..precond.amg.setup_bsr import setup_ua_bsr
+        hier = setup_ua_bsr(A, amg)
+        op = device_operator(A)
+    else:
+        hier = _amg_setup_by_type(A, amg)
+        op = _as_operator(A)
+
+    M = AMGPrecond(hier, maxit=amg.maxit)
+    res = itsolver(op, b, x0=x0, M=M, its=its)
+    return res, hier
+
+
+def solve_amg(A: CSRMatrix, b, x0=None, amg: Optional[AMGParam] = None
+              ) -> SolveResult:
+    """AMG as a standalone solver with safeguarded-GMRES fallback on setup
+    failure (reference: fasp_solver_amg, SolAMG.c:49, fallback :128-135)."""
+    amg = amg or AMGParam()
+    try:
+        hier = _amg_setup_by_type(A, amg)
+    except Exception as e:  # noqa: BLE001 — mirror reference fallback
+        messages.warn(f"AMG setup failed ({e}); falling back to GMRES")
+        its = ITSParam(itsolver_type=int(SolverType.GMRES), tol=amg.tol,
+                       maxit=max(amg.maxit, 100))
+        return itsolver(A, b, x0=x0, M=None, its=its)
+    if int(amg.cycle_type) == CycleType.NL_AMLI or \
+       int(amg.cycle_type) == CycleType.AMLI:
+        return amg_solve(hier, b, x0, tol=amg.tol, maxit=amg.maxit)
+    return amg_solve(hier, b, x0, tol=amg.tol, maxit=amg.maxit)
+
+
+def solve_famg(A: CSRMatrix, b, x0=None, amg: Optional[AMGParam] = None
+               ) -> SolveResult:
+    """Full AMG as solver (reference: fasp_solver_famg, SolFAMG.c:41)."""
+    amg = amg or AMGParam()
+    hier = _amg_setup_by_type(A, amg)
+    return famg_solve(hier, b, x0, tol=amg.tol, maxit=amg.maxit)

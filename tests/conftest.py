@@ -18,6 +18,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax before user code runs, so env vars set
+# here can be too late — jax.config.update is authoritative either way.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

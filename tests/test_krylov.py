@@ -123,8 +123,9 @@ def test_gcr(poisson_sys):
 
 
 def test_safe_mode_returns_best(poisson_sys):
-    A, op, b, _ = poisson_sys
-    res = pcg(op, b, tol=1e-14, maxit=30, safe=True)   # will not converge
+    A, op, _, _ = poisson_sys
+    b = jnp.asarray(RNG.standard_normal(A.nrow))       # rough rhs
+    res = pcg(op, b, tol=1e-14, maxit=10, safe=True)   # will not converge
     assert not bool(res.converged)
     x = np.asarray(res.x)
     # best iterate is still a meaningful partial solve
