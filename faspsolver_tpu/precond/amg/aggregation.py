@@ -9,12 +9,16 @@ the reference, whose setup is serial C; only the solve phase is device code.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
+import jax as _jax
 import numpy as np
 import scipy.sparse as sp
 
 from ...formats import CSRMatrix
+
+_partial_jit_match = partial(_jax.jit, static_argnames=("nn", "rounds"))
 
 
 def strength_graph(A: CSRMatrix, theta: float) -> sp.csr_matrix:
@@ -149,6 +153,125 @@ def aggregate_pairwise(A: CSRMatrix, k_pairs: int = 2,
     agg = maps[0][0].copy()
     for pair, _ in maps[1:]:
         agg = pair[agg]
+    return agg, maps[-1][1]
+
+
+def _rap_boolean(A: CSRMatrix, agg: np.ndarray, nagg: int) -> CSRMatrix:
+    """Ac = P^T A P with boolean P as one vectorized segment reduction —
+    the scalar twin of the BSR block RAP (reference fast path:
+    fasp_blas_dcsr_rap_agg, BlaSpmvCSR.c:1276)."""
+    rows = np.repeat(np.arange(A.nrow), A.row_nnz())
+    key = agg[rows].astype(np.int64) * nagg + agg[A.indices]
+    order = np.argsort(key)                      # single sort
+    key_s = key[order]
+    first = np.ones(len(key_s), dtype=bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    start = np.flatnonzero(first)
+    uniq = key_s[start]
+    sums = np.add.reduceat(A.data[order], start)
+    out_rows = uniq // nagg
+    out_cols = uniq % nagg
+    counts = np.bincount(out_rows, minlength=nagg)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    return CSRMatrix(indptr, out_cols, sums, (nagg, nagg))
+
+
+def _match_rounds(eu, ev, escore, nn: int, rounds: int) -> np.ndarray:
+    """Luby-style heavy-edge matching on device: an edge matches when it is
+    the best (lowest-score) free edge of BOTH its endpoints.  All segment
+    ops — runs as one jitted XLA program (setup itself is accelerated).
+
+    Shapes are padded to power-of-two buckets so the compiled program is
+    reused across hierarchy levels and problem sizes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def pow2(x):
+        return 1 << max(int(x) - 1, 0).bit_length()
+
+    ne = len(eu)
+    ne_pad = pow2(ne)
+    nn_pad = pow2(nn + 1)
+    dummy = nn_pad - 1
+    eu_p = np.full(ne_pad, dummy, dtype=np.int32)
+    ev_p = np.full(ne_pad, dummy, dtype=np.int32)
+    s_p = np.full(ne_pad, np.inf, dtype=np.float32)
+    eu_p[:ne] = eu
+    ev_p[:ne] = ev
+    s_p[:ne] = escore
+    out = _match_rounds_jit(jnp.asarray(eu_p), jnp.asarray(ev_p),
+                            jnp.asarray(s_p), nn_pad, rounds)
+    return np.asarray(out)[:nn]
+
+
+@_partial_jit_match
+def _match_rounds_jit(eu, ev, escore, nn: int, rounds: int):
+    import jax
+    import jax.numpy as jnp
+    seg = jnp.concatenate([eu, ev])
+
+    def body(_, matched):
+        free = matched == -1
+        edge_free = free[eu] & free[ev] & jnp.isfinite(escore)
+        s = jnp.where(edge_free, escore, jnp.inf)
+        nodemin = jax.ops.segment_min(jnp.concatenate([s, s]), seg,
+                                      num_segments=nn)
+        sel = edge_free & (s == nodemin[eu]) & (s == nodemin[ev])
+        matched = matched.at[jnp.where(sel, eu, nn)].set(
+            jnp.where(sel, ev, 0), mode="drop")
+        matched = matched.at[jnp.where(sel, ev, nn)].set(
+            jnp.where(sel, eu, 0), mode="drop")
+        return matched
+
+    return jax.lax.fori_loop(0, rounds, body,
+                             jnp.full(nn, -1, jnp.int32))
+
+
+def aggregate_pairwise_fast(A: CSRMatrix, k_pairs: int = 2,
+                            rounds: int = 10, return_coarse: bool = False):
+    """Fully vectorized (multi-)pairwise aggregation for large systems.
+
+    Same algorithmic idea as :func:`aggregate_pairwise` (strongest-negative-
+    neighbor matching, reference PreAMGAggregationUA.inl:363) expressed as
+    Luby matching rounds on the device + segment-reduction RAP on host —
+    no Python loop over nodes.  Used automatically above a size threshold.
+    With ``return_coarse`` the final Galerkin operator is returned too, so
+    callers don't recompute the RAP.
+    """
+    rng = np.random.default_rng(1234)
+    cur = A
+    maps = []
+    for _ in range(k_pairs):
+        nn = cur.nrow
+        rows = np.repeat(np.arange(nn), cur.row_nnz())
+        cols = cur.indices
+        data = cur.data
+        # sign-agnostic strength matching: score by -|a_ij| (for M-matrices
+        # identical to strongest-negative matching; on UA coarse levels,
+        # where positive off-diagonals appear, it keeps the pairing dense
+        # instead of stalling)
+        canon = (rows < cols) & (data != 0)
+        base = -np.abs(data[canon])
+        eu, ev = rows[canon], cols[canon]
+        ne = len(eu)
+        if ne == 0:
+            maps.append((np.arange(nn), nn))
+            break
+        escore = base + rng.random(ne) * \
+            (1e-6 * max(np.abs(base).max(), 1.0))
+        matched = _match_rounds(eu, ev, escore, nn, rounds).astype(np.int64)
+        leader = np.where((matched == -1) | (np.arange(nn) < matched),
+                          np.arange(nn), matched)
+        uniq, pair = np.unique(leader, return_inverse=True)
+        nagg = len(uniq)
+        maps.append((pair, nagg))
+        cur = _rap_boolean(cur, pair, nagg)
+    agg = maps[0][0]
+    for pair, _ in maps[1:]:
+        agg = pair[agg]
+    if return_coarse:
+        return agg, maps[-1][1], cur
     return agg, maps[-1][1]
 
 

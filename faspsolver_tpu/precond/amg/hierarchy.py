@@ -14,6 +14,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .smoothers import SmootherData
 
@@ -50,6 +51,65 @@ class CoarseSolver:
     def from_dense(cls, mat) -> "CoarseSolver":
         lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
         return cls(lu=lu, piv=piv)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class IterativeCoarseSolver:
+    """Jacobi-preconditioned CG coarse solve for coarse levels too large to
+    dense-factor (reference analog: fasp_coarse_itsolver, PreMGUtil.inl:25,
+    which runs CG/GMRES on the coarsest grid when no direct solver is
+    configured)."""
+
+    A: Any
+    dinv: jax.Array
+    iters: int = dataclasses.field(metadata=dict(static=True), default=60)
+
+    def __call__(self, b: jax.Array) -> jax.Array:
+        def body(_, st):
+            x, r, z, p, rz = st
+            Ap = self.A(p)
+            denom = jnp.dot(p, Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = self.dinv * r
+            rz_new = jnp.dot(r, z)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1.0)
+            return (x, r, z, z + beta * p, rz_new)
+
+        x0 = jnp.zeros_like(b)
+        z0 = self.dinv * b
+        st = (x0, b, z0, z0, jnp.dot(b, z0))
+        x, *_ = jax.lax.fori_loop(0, self.iters, body, st)
+        return x
+
+
+# dense coarse factorization above this size is a mistake, not a solve
+_DENSE_COARSE_LIMIT = 4096
+
+
+def make_coarse_solver(A_host, dtype):
+    """Pick the coarse-grid solver: dense LU on-device for small levels,
+    Jacobi-CG for anything larger."""
+    n = A_host.nrow
+    if n <= _DENSE_COARSE_LIMIT:
+        if hasattr(A_host, "to_csr"):
+            dense = A_host.to_csr().to_dense()
+        else:
+            dense = A_host.to_dense()
+        return CoarseSolver.from_dense(np.asarray(dense,
+                                                  dtype=np.dtype(dtype)))
+    from ...ops.operators import device_operator
+    if hasattr(A_host, "to_csr"):
+        A_csr = A_host.to_csr()
+    else:
+        A_csr = A_host
+    d = A_csr.diagonal()
+    d = np.where(d != 0.0, d, 1.0)
+    return IterativeCoarseSolver(
+        A=device_operator(A_csr, dtype=dtype),
+        dinv=jnp.asarray(1.0 / d, dtype=dtype))
 
 
 @jax.tree_util.register_dataclass

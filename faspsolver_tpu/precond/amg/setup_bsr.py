@@ -22,7 +22,8 @@ from ...ops.operators import BsrEllOperator, default_dtype
 from ...utils.params import AMGParam
 from .aggregation import aggregate_pairwise, aggregate_vmb
 from .bsr_smoothers import build_bsr_smoother
-from .hierarchy import AMGHierarchy, AMGLevel, CoarseSolver
+from .hierarchy import (AMGHierarchy, AMGLevel, CoarseSolver,
+                        make_coarse_solver)
 from .transfer import BlockAggProlong, BlockAggRestrict
 
 
@@ -94,9 +95,7 @@ def setup_ua_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
                                Al.nrow_block, int(nagg), Al.nb),
             smoother=sm))
 
-    coarse_dense = host_levels[-1].to_csr().to_dense()
-    coarse = CoarseSolver.from_dense(
-        np.asarray(coarse_dense, dtype=np.dtype(dtype)))
+    coarse = make_coarse_solver(host_levels[-1], dtype)
 
     amli_c = ()
     if param.amli_degree > 0:

@@ -16,7 +16,8 @@ from ...formats import CSRMatrix
 from ...ops.operators import EllOperator, default_dtype, device_operator
 from ...utils.params import AMGParam
 from .coarsen_rs import coarsen
-from .hierarchy import AMGHierarchy, AMGLevel, CoarseSolver
+from .hierarchy import (AMGHierarchy, AMGLevel, CoarseSolver,
+                        make_coarse_solver)
 from .interp import interpolate
 from .smoothers import build_smoother
 from .transfer import csr_transfer
@@ -74,8 +75,7 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         levels.append(AMGLevel(A=EllOperator.from_csr(Al, dtype=dtype),
                                P=Pop, R=Rop, smoother=sm))
 
-    coarse = CoarseSolver.from_dense(
-        np.asarray(host_levels[-1].to_dense(), dtype=np.dtype(dtype)))
+    coarse = make_coarse_solver(host_levels[-1], dtype)
 
     amli_c = ()
     if param.amli_degree > 0:

@@ -22,11 +22,16 @@ from ...formats import CSRMatrix
 from ...ops.operators import (DenseOperator, EllOperator, default_dtype,
                               device_operator)
 from ...utils.params import AMGParam
-from .aggregation import (aggregate_pairwise, aggregate_vmb,
-                          tentative_prolongation)
-from .hierarchy import AMGHierarchy, AMGLevel, CoarseSolver
+from .aggregation import (aggregate_pairwise, aggregate_pairwise_fast,
+                          aggregate_vmb, tentative_prolongation)
+from .hierarchy import (AMGHierarchy, AMGLevel, CoarseSolver,
+                        make_coarse_solver)
 from .smoothers import build_smoother
 from .transfer import AggProlong, AggRestrict
+
+# above this size the vectorized matching path replaces the Python-loop
+# greedy aggregators (identical algorithmic family, setup stays fast)
+_VECTORIZED_SETUP_THRESHOLD = 2000
 
 
 def setup_ua(A: CSRMatrix, param: Optional[AMGParam] = None,
@@ -42,16 +47,21 @@ def setup_ua(A: CSRMatrix, param: Optional[AMGParam] = None,
     max_levels = min(param.max_levels, 20)
     while (len(host_levels) < max_levels
            and cur.nrow > max(param.coarse_dof, 1)):
-        if param.aggregation_type == AggregationType.VMB:
+        if cur.nrow > _VECTORIZED_SETUP_THRESHOLD:
+            agg, nagg, Ac = aggregate_pairwise_fast(
+                cur, param.pair_number, return_coarse=True)
+        elif param.aggregation_type == AggregationType.VMB:
             agg, nagg = aggregate_vmb(cur, theta, param.max_aggregation)
+            Ac = None
         else:
             agg, nagg = aggregate_pairwise(cur, param.pair_number,
                                            param.quality_bound)
-        if nagg >= cur.nrow:          # aggregation stalled -> stop here
+            Ac = None
+        if nagg >= 0.95 * cur.nrow:   # aggregation stalled -> stop here
             break
-        P = tentative_prolongation(agg, nagg)
-        Ac = CSRMatrix.from_scipy(
-            (P.to_scipy().T @ cur.to_scipy() @ P.to_scipy()).tocsr())
+        if Ac is None:
+            from .aggregation import _rap_boolean
+            Ac = _rap_boolean(cur, agg, nagg)
         aggs.append((agg, nagg))
         host_levels.append(Ac)
         cur = Ac
@@ -87,8 +97,7 @@ def build_hierarchy_from_host(host_levels: List[CSRMatrix],
                           int(nagg)),
             smoother=sm))
 
-    coarse = CoarseSolver.from_dense(
-        np.asarray(host_levels[-1].to_dense(), dtype=np.dtype(dtype)))
+    coarse = make_coarse_solver(host_levels[-1], dtype)
 
     amli_c = ()
     if param.amli_degree > 0:

@@ -1,0 +1,262 @@
+"""Regression harness: the reference's solver x preconditioner conformance
+matrix over the shipped data corpus.
+
+Reference: test/main/regression.c (43 check_solu configs over 3 problems),
+regression_mm.c (MatrixMarket set), regression_mf.c (matrix-free re-run);
+acceptance rule max|x - x_exact| <= 1e-4 (regression.c:24-36,57); golden
+transcript test/out/reg.out.
+
+Run:  python -m faspsolver_tpu.regression            (core matrix)
+      python -m faspsolver_tpu.regression --mm       (MatrixMarket set)
+      python -m faspsolver_tpu.regression --matfree  (operator-closure mode)
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (AMGType, AggregationType, CycleType, ILUType,
+                         InterpType, SmootherType, SolverType, StopType)
+from ..formats import CSRMatrix
+from ..io import read_csrvec, read_mtx, read_vecind
+from ..krylov import (JacobiPrecond, bicgstab, gcg, gcr, gmres, minres, pcg,
+                      vfgmres, vgmres)
+from ..ops.operators import MatFreeOperator, device_operator
+from ..precond import AMGPrecond, setup_ilu
+from ..precond.amg import (amg_solve, famg_solve, setup_rs, setup_sa,
+                           setup_ua)
+from ..utils.params import AMGParam, ILUParam
+from ..utils import messages
+
+TOLERANCE = 1e-4          # reference acceptance (regression.c:57)
+REFDATA = "/root/reference/data"
+
+
+@dataclass
+class RegResult:
+    name: str
+    problem: str
+    iters: int
+    relres: float
+    maxdiff: float
+    ok: bool
+
+
+def check_solu(x: np.ndarray, sol: np.ndarray) -> float:
+    """Reference check_solu: max-abs difference (regression.c:24-36)."""
+    return float(np.max(np.abs(np.asarray(x) - sol)))
+
+
+def _problems(datadir: str = REFDATA):
+    rng = np.random.default_rng(2026)
+    A1, b1 = read_csrvec(f"{datadir}/csrmat_FD.dat", f"{datadir}/rhs_FD.dat")
+    sol1 = read_vecind(f"{datadir}/sol_FD.dat")
+    A2, b2 = read_csrvec(f"{datadir}/csrmat_FE.dat", f"{datadir}/rhs_FE.dat")
+    sol2 = read_vecind(f"{datadir}/sol_FE.dat")
+    A3 = read_mtx(f"{datadir}/nos7.mtx")
+    sol3 = rng.standard_normal(A3.nrow)
+    b3 = A3.matvec(sol3)                 # manufactured (regression.c:118-126)
+    return [("FD-Poisson-100", A1, b1, sol1),
+            ("FE-Poisson-3969", A2, b2, sol2),
+            ("nos7", A3, b3, sol3)]
+
+
+def _amg_config(name, **kw):
+    return (name, lambda A, b: _run_amg_solver(A, b, AMGParam(
+        maxit=kw.pop("maxit", 20), tol=kw.pop("tol", 1e-10), **kw)))
+
+
+def _run_amg_solver(A, b, param: AMGParam):
+    t = int(param.AMG_type)
+    setup = {int(AMGType.SA): setup_sa, int(AMGType.UA): setup_ua
+             }.get(t, setup_rs)
+    hier = setup(A, param)
+    res = amg_solve(hier, jnp.asarray(b), tol=param.tol, maxit=param.maxit)
+    return res
+
+
+def _krylov_config(name, solver, precond, **kw):
+    def run(A, b):
+        op = device_operator(A, prefer="ell")
+        M = precond(A) if precond else None
+        return solver(op, jnp.asarray(b), M=M, tol=kw.get("tol", 1e-12),
+                      maxit=kw.get("maxit", 500),
+                      **({"restart": kw["restart"]} if "restart" in kw
+                         else {}),
+                      **({"stop_type": kw["stop_type"]}
+                         if "stop_type" in kw else {}))
+    return (name, run)
+
+
+def _amg_precond(**kw):
+    def make(A):
+        t = kw.get("AMG_type", int(AMGType.CLASSIC))
+        setup = {int(AMGType.SA): setup_sa, int(AMGType.UA): setup_ua
+                 }.get(int(t), setup_rs)
+        return AMGPrecond(setup(A, AMGParam(**kw)))
+    return make
+
+
+def _ilu_precond(**kw):
+    return lambda A: setup_ilu(A, ILUParam(**kw))
+
+
+def core_configs() -> List[Tuple[str, Callable]]:
+    """The regression.c solver matrix (43 configs; same families/order)."""
+    GS = int(SmootherType.GS)
+    cfgs: List[Tuple[str, Callable]] = [
+        # --- AMG as iterative solver (regression.c:143-280) ---
+        _amg_config("AMG V direct-interp GS", smoother=GS,
+                    interpolation_type=int(InterpType.DIRECT)),
+        _amg_config("AMG V standard-interp GS", smoother=GS,
+                    interpolation_type=int(InterpType.STANDARD)),
+        ("FAMG V direct GS", lambda A, b: famg_solve(
+            setup_rs(A, AMGParam(smoother=GS)), jnp.asarray(b),
+            tol=1e-10, maxit=20)),
+        _amg_config("AMG W-cycle GS", smoother=GS,
+                    cycle_type=int(CycleType.W)),
+        _amg_config("AMG AMLI GS", smoother=GS,
+                    cycle_type=int(CycleType.AMLI), amli_degree=3),
+        _amg_config("AMG NL-AMLI GS", smoother=GS,
+                    cycle_type=int(CycleType.NL_AMLI)),
+        _amg_config("AMG V SGS", smoother=int(SmootherType.SGS)),
+        _amg_config("AMG V L1-diag", smoother=int(SmootherType.L1DIAG),
+                    maxit=100),
+        _amg_config("SA-AMG V GS", AMG_type=int(AMGType.SA),
+                    aggregation_type=int(AggregationType.VMB), smoother=GS,
+                    maxit=100),
+        _amg_config("UA-AMG V GS", AMG_type=int(AMGType.UA),
+                    aggregation_type=int(AggregationType.PAIRWISE),
+                    smoother=GS, maxit=250),
+        # --- Krylov, unpreconditioned / diagonal (regression.c:282-400) ---
+        _krylov_config("CG", pcg, None),
+        _krylov_config("CG + diag", pcg, JacobiPrecond.from_csr),
+        _krylov_config("BiCGstab + diag", bicgstab, JacobiPrecond.from_csr),
+        _krylov_config("MinRes + diag", minres, JacobiPrecond.from_csr),
+        _krylov_config("GMRES + diag", gmres, JacobiPrecond.from_csr,
+                       restart=30),
+        _krylov_config("vGMRES + diag", vgmres, JacobiPrecond.from_csr,
+                       restart=30),
+        _krylov_config("vFGMRES + diag", vfgmres, JacobiPrecond.from_csr,
+                       restart=30),
+        _krylov_config("GCR + diag", gcr, JacobiPrecond.from_csr,
+                       restart=30),
+        # --- Krylov + AMG (regression.c:402-640) ---
+        _krylov_config("CG + AMG(direct)", pcg, _amg_precond(
+            smoother=GS, interpolation_type=int(InterpType.DIRECT))),
+        _krylov_config("CG + AMG(standard)", pcg, _amg_precond(
+            smoother=GS, interpolation_type=int(InterpType.STANDARD))),
+        _krylov_config("CG + SA-AMG", pcg, _amg_precond(
+            AMG_type=int(AMGType.SA),
+            aggregation_type=int(AggregationType.VMB), smoother=GS)),
+        _krylov_config("CG + UA-AMG", pcg, _amg_precond(
+            AMG_type=int(AMGType.UA),
+            aggregation_type=int(AggregationType.PAIRWISE), smoother=GS)),
+        _krylov_config("BiCGstab + AMG", bicgstab, _amg_precond(
+            smoother=GS)),
+        _krylov_config("MinRes + AMG", minres, _amg_precond(smoother=GS)),
+        _krylov_config("GMRES + AMG", gmres, _amg_precond(smoother=GS),
+                       restart=30),
+        _krylov_config("vGMRES + AMG", vgmres, _amg_precond(smoother=GS),
+                       restart=30),
+        _krylov_config("vFGMRES + AMG", vfgmres, _amg_precond(smoother=GS),
+                       restart=30),
+        # --- Krylov + ILU (regression.c:642-780) ---
+        _krylov_config("CG + ILU(0)", pcg, _ilu_precond(
+            ILU_type=int(ILUType.ILUK), ILU_lfil=0)),
+        _krylov_config("CG + ILU(1)", pcg, _ilu_precond(
+            ILU_type=int(ILUType.ILUK), ILU_lfil=1)),
+        _krylov_config("GMRES + ILUt", gmres, _ilu_precond(
+            ILU_type=int(ILUType.ILUT), ILU_droptol=1e-3), restart=30),
+        # --- stop types (regression.c stop-type block) ---
+        _krylov_config("CG stop2", pcg, None, stop_type=2),
+        _krylov_config("CG stop3", pcg, None, stop_type=3),
+        # --- safety-net variants ---
+        ("SafeCG + diag", lambda A, b: pcg(
+            device_operator(A, prefer="ell"), jnp.asarray(b),
+            M=JacobiPrecond.from_csr(A), tol=1e-12, maxit=500, safe=True)),
+        ("SafeBiCGstab + diag", lambda A, b: bicgstab(
+            device_operator(A, prefer="ell"), jnp.asarray(b),
+            M=JacobiPrecond.from_csr(A), tol=1e-12, maxit=500, safe=True)),
+    ]
+    return cfgs
+
+
+def mm_problems(datadir: str = REFDATA):
+    """MatrixMarket regression set (reference: regression_mm.c:115-321)."""
+    rng = np.random.default_rng(17)
+    names = ["e05r0500", "orsreg_1", "steam2", "jpwh_991", "gre__115",
+             "add32", "sherman1", "watt__1", "lns__131", "nos7"]
+    out = []
+    for name in names:
+        A = read_mtx(f"{datadir}/{name}.mtx")
+        sol = rng.standard_normal(A.nrow)
+        out.append((name, A, A.matvec(sol), sol))
+    return out
+
+
+def mm_configs() -> List[Tuple[str, Callable]]:
+    """Robust nonsymmetric set: GMRES/BiCGstab + ILU/diag."""
+    return [
+        _krylov_config("vGMRES + ILUt", vgmres, _ilu_precond(
+            ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), restart=40,
+            maxit=2000, tol=1e-10),
+        _krylov_config("GMRES + ILUt", gmres, _ilu_precond(
+            ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), restart=40,
+            maxit=2000, tol=1e-10),
+        _krylov_config("BiCGstab + ILUt", bicgstab, _ilu_precond(
+            ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), maxit=2000,
+            tol=1e-10),
+    ]
+
+
+def matfree_configs() -> List[Tuple[str, Callable]]:
+    """Solvers exercised through an opaque operator closure
+    (reference: regression_mf.c via mxv_matfree) — the solver code cannot
+    see a matrix, only x -> Ax."""
+    def mk(name, solver, **kw):
+        def run(A, b):
+            op = device_operator(A, prefer="ell")
+            mf = MatFreeOperator(fn=op, n=A.nrow, _dtype=op.dtype)
+            return solver(mf, jnp.asarray(b), tol=1e-12, maxit=2000, **kw)
+        return (name, run)
+    return [mk("matfree CG", pcg), mk("matfree BiCGstab", bicgstab),
+            mk("matfree MinRes", minres),
+            mk("matfree GMRES", gmres, restart=30),
+            mk("matfree vFGMRES", vfgmres, restart=30),
+            mk("matfree GCG", gcg, restart=30)]
+
+
+def run_matrix(configs, problems) -> List[RegResult]:
+    results = []
+    for pname, A, b, sol in problems:
+        for cname, run in configs:
+            try:
+                res = run(A, b)
+                md = check_solu(res.x, sol)
+                ok = md <= TOLERANCE
+                results.append(RegResult(cname, pname, int(res.iters),
+                                         float(res.relres), md, ok))
+            except Exception as e:  # noqa: BLE001 — tally like the reference
+                results.append(RegResult(cname, pname, -1, float("inf"),
+                                         float("inf"), False))
+                messages.warn(f"{pname} / {cname}: {e}")
+    return results
+
+
+def print_tally(results: List[RegResult]) -> Tuple[int, int]:
+    """PASS/ATTENTION report (reference: regression.c:860-865)."""
+    npass = sum(r.ok for r in results)
+    nwarn = len(results) - npass
+    for r in results:
+        flag = "PASS" if r.ok else "### ATTENTION"
+        print(f"{r.problem:18s} {r.name:28s} iters={r.iters:5d} "
+              f"relres={r.relres:9.2e} maxdiff={r.maxdiff:9.2e}  {flag}")
+    print("-" * 78)
+    print(f"Number of PASSED tests    : {npass}")
+    print(f"Number of ATTENTION tests : {nwarn}")
+    return npass, nwarn

@@ -25,8 +25,10 @@ def poisson_2d(nx: int, ny: int = None, dtype=np.float64
     hy2 = float((ny + 1) ** 2)
     Tx = sp.diags([-hx2, 2 * hx2, -hx2], [-1, 0, 1], shape=(nx, nx))
     Ty = sp.diags([-hy2, 2 * hy2, -hy2], [-1, 0, 1], shape=(ny, ny))
-    A = sp.kron(sp.eye(ny), Tx) + sp.kron(Ty, sp.eye(nx))
-    return CSRMatrix.from_scipy(A.tocsr().astype(dtype))
+    A = (sp.kron(sp.eye(ny), Tx) + sp.kron(Ty, sp.eye(nx))).tocsr()
+    A.eliminate_zeros()        # scipy kron goes through BSR: drop the
+    A.sort_indices()           # explicit zeros its dense blocks introduce
+    return CSRMatrix.from_scipy(A.astype(dtype))
 
 
 def poisson_3d(nx: int, ny: int = None, nz: int = None, dtype=np.float64
@@ -42,8 +44,10 @@ def poisson_3d(nx: int, ny: int = None, nz: int = None, dtype=np.float64
     Ix, Iy, Iz = sp.eye(nx), sp.eye(ny), sp.eye(nz)
     A = (sp.kron(Iz, sp.kron(Iy, t(nx)))
          + sp.kron(Iz, sp.kron(t(ny), Ix))
-         + sp.kron(t(nz), sp.kron(Iy, Ix)))
-    return CSRMatrix.from_scipy(A.tocsr().astype(dtype))
+         + sp.kron(t(nz), sp.kron(Iy, Ix))).tocsr()
+    A.eliminate_zeros()
+    A.sort_indices()
+    return CSRMatrix.from_scipy(A.astype(dtype))
 
 
 def poisson_2d_manufactured(nx: int, ny: int = None

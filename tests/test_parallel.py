@@ -1,0 +1,62 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+SURVEY.md §4.8: single-process multi-device tests asserting the sharded
+path matches the single-device path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faspsolver_tpu.krylov import pcg, JacobiPrecond
+from faspsolver_tpu.ops import EllOperator, device_operator
+from faspsolver_tpu.parallel import (dist_operator, make_mesh, shard_rows,
+                                     shard_vector)
+from faspsolver_tpu.testgen import poisson_2d, poisson_3d_manufactured
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    return make_mesh(8)
+
+
+def test_sharded_spmv_matches(mesh):
+    A = poisson_2d(30)                      # 900 dof
+    op = dist_operator(A, mesh)
+    x = RNG.standard_normal(A.ncol)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    y = np.asarray(jax.jit(lambda o, v: o(v))(op, xs))[:A.nrow]
+    np.testing.assert_allclose(y, A.matvec(x), rtol=1e-13)
+
+
+def test_sharded_pcg_matches_single_device(mesh):
+    A, b, u = poisson_3d_manufactured(9)    # 729 dof
+    op1 = device_operator(A, prefer="ell")
+    res1 = pcg(op1, jnp.asarray(b), tol=1e-10, maxit=500)
+
+    opd = dist_operator(A, mesh)
+    bd = shard_vector(jnp.asarray(b), mesh)
+    resd = pcg(opd, bd, tol=1e-10, maxit=500)
+
+    assert bool(resd.converged)
+    x1 = np.asarray(res1.x)
+    xd = np.asarray(resd.x)[:A.nrow]
+    np.testing.assert_allclose(xd, x1, atol=1e-8)
+    np.testing.assert_allclose(xd, u, atol=1e-6)
+
+
+def test_graft_dryrun_multichip(mesh):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_sharded_dot_uses_all_devices(mesh):
+    # row-sharded dot stays correct (psum path)
+    x = shard_vector(jnp.arange(1024, dtype=jnp.float64), mesh)
+    got = float(jax.jit(lambda v: jnp.dot(v, v))(x))
+    assert got == float(np.dot(np.arange(1024.0), np.arange(1024.0)))
