@@ -6,86 +6,104 @@ size problem, gcc -O2, 4 OpenMP threads: setup 1.4029 s + solve 1.5566 s =
 speedup factor: reference_total / ours_total (>1 means faster than the
 reference).
 
-Also measures raw ELL SpMV throughput (nnz/s, effective GB/s) on the same
-operator.  Prints ONE JSON line.
+Configuration (the framework's TPU-native fast mode):
+- structured smoothed-aggregation AMG: DIA (stencil) operators, reshape
+  pair transfers, Chebyshev smoothing — zero gathers anywhere in the cycle;
+- PCG in f32 on device inside mixed-precision iterative refinement, so the
+  solve meets the same 1e-6 double-precision residual the reference
+  reports while the hot loop runs at f32 speed.
 
-Runs on whatever backend is ambient (the driver runs it on a real TPU chip;
-f32 there — the performance mode; conformance tests use f64 on CPU).
+Also measures raw DIA SpMV throughput on the fine operator.
+Prints ONE JSON line.
 """
 from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
 
 def main() -> None:
     import jax
+    jax.config.update("jax_enable_x64", True)   # for the f64 refinement op
     import jax.numpy as jnp
     from faspsolver_tpu.krylov import pcg
-    from faspsolver_tpu.ops import EllOperator
+    from faspsolver_tpu.ops import DiaOperator
     from faspsolver_tpu.precond import AMGPrecond
-    from faspsolver_tpu.precond.amg import setup_ua
+    from faspsolver_tpu.precond.amg import setup_structured
+    from faspsolver_tpu.solvers import solve_refined_device
     from faspsolver_tpu.testgen import poisson_2d
     from faspsolver_tpu.utils.params import AMGParam
-    from faspsolver_tpu.constants import SmootherType, AggregationType
+    from faspsolver_tpu.constants import SmootherType
 
     NX = 1023                      # 1023^2 = 1,046,529 dof
     REF_TOTAL_S = 2.9973           # reference -O2 4-thread setup+solve
     TOL = 1e-6
 
+    dtype = jnp.float32            # hot-loop precision (performance mode)
+
+    # device bring-up (backend init + first-transfer path); not part of the
+    # measured work, same as the reference not timing process startup
+    float(jnp.sum(jnp.asarray(np.ones(8, dtype=np.float32))))
+
     t0 = time.perf_counter()
     A = poisson_2d(NX)
     gen_s = time.perf_counter() - t0
 
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-
-    # ---- AMG setup (host graph algorithms + device array freeze) ----
+    # ---- AMG setup (host band algebra -> one batched device freeze) ----
     t0 = time.perf_counter()
-    param = AMGParam(aggregation_type=int(AggregationType.PAIRWISE),
-                     pair_number=2,
-                     smoother=int(SmootherType.CHEBYSHEV),
-                     polynomial_degree=2, coarse_dof=800)
-    hier = setup_ua(A, param, dtype=dtype)
-    op = EllOperator.from_csr(A, dtype=dtype)
-    b = jnp.asarray(A.matvec(np.ones(A.nrow)), dtype=dtype)
-    jax.block_until_ready(hier.levels[0].A.vals)
+    param = AMGParam(smoother=int(SmootherType.CHEBYSHEV),
+                     polynomial_degree=2, coarse_dof=800,
+                     tentative_smooth=0.67)
+    hier = setup_structured(A, param, dtype=dtype, smooth_p=True)
+    assert hier is not None, "bench problem must take the structured path"
+    op = hier.levels[0].A                       # fine DIA operator (f32)
+    from faspsolver_tpu.ops import dia_bands_from_csr
+    offs64, bands64 = dia_bands_from_csr(A)
+    op64 = DiaOperator(jnp.asarray(bands64), tuple(int(o) for o in offs64),
+                       A.nrow)                  # f64 twin for refinement
+    b = A.matvec(np.ones(A.nrow))
+    # force device materialization (readback = true sync on this backend)
+    float(jnp.sum(hier.levels[0].A.bands)) + float(jnp.sum(op64.bands))
     setup_s = time.perf_counter() - t0
 
     M = AMGPrecond(hier)
 
+    def inner(r, tol):
+        return pcg(op, r, M=M, tol=tol, maxit=40)
+
     # ---- warmup (compile; the reference has no JIT cost, so compile is
     # excluded from the timed solve) ----
-    res = pcg(op, b, M=M, tol=TOL, maxit=100)
-    jax.block_until_ready(res.x)
+    _ = solve_refined_device(op64, b, inner, tol=TOL, max_rounds=1,
+                             dtype=dtype)
 
-    # ---- timed solve ----
+    # ---- timed solve (true f64 residual to TOL) ----
     t0 = time.perf_counter()
-    res = pcg(op, b, M=M, tol=TOL, maxit=100)
-    jax.block_until_ready(res.x)
+    res = solve_refined_device(op64, b, inner, tol=TOL, max_rounds=4,
+                               dtype=dtype)
     solve_s = time.perf_counter() - t0
 
     total_s = setup_s + solve_s
-    iters = int(res.iters)
-    relres = float(res.relres)
 
-    # ---- SpMV throughput ----
-    x = b
-    spmv = jax.jit(lambda o, v: o(v))
-    y = spmv(op, x)
-    jax.block_until_ready(y)
-    reps = 50
+    # ---- SpMV throughput (chained inside one jit; readback-synced) ----
+    @partial(jax.jit, static_argnames=("iters",))
+    def spmv_chain(o, x, iters):
+        def body(_, v):
+            y = o(v)
+            return y * jax.lax.rsqrt(jnp.vdot(y, y))
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    bdev = jnp.asarray(b, dtype=dtype)
+    float(jnp.sum(spmv_chain(op, bdev, 10)))        # warm
+    reps = 200
     t0 = time.perf_counter()
-    for _ in range(reps):
-        y = spmv(op, y / jnp.linalg.norm(y))
-    jax.block_until_ready(y)
+    float(jnp.sum(spmv_chain(op, bdev, reps)))
     spmv_s = (time.perf_counter() - t0) / reps
     nnz = A.nnz
-    bytes_per = op.vals.dtype.itemsize
-    # traffic model: vals + cols + gathered x + y write
-    gbs = (op.vals.size * (bytes_per + 4 + bytes_per) + A.nrow * bytes_per
-           ) / spmv_s / 1e9
+    bytes_per = op.bands.dtype.itemsize
+    gbs = (op.bands.size * bytes_per + 3 * A.nrow * bytes_per) / spmv_s / 1e9
     nnz_per_s = nnz / spmv_s
 
     platform = jax.devices()[0].platform
@@ -97,14 +115,15 @@ def main() -> None:
         "detail": {
             "setup_s": round(setup_s, 4),
             "solve_s": round(solve_s, 4),
-            "iters": iters,
-            "relres": relres,
+            "refine_rounds": res.rounds,
+            "inner_iters": res.inner_iters,
+            "relres": res.relres,
             "converged": bool(res.converged),
             "spmv_gbs": round(gbs, 2),
             "spmv_nnz_per_s": round(nnz_per_s / 1e9, 3),
             "n": A.nrow, "nnz": nnz,
             "platform": platform,
-            "dtype": str(np.dtype(op.vals.dtype)),
+            "dtype": str(np.dtype(op.bands.dtype)),
             "gen_s": round(gen_s, 3),
         },
     }))

@@ -100,6 +100,9 @@ class SmootherType(enum.IntEnum):
     JACOBIF = 11        # Jacobi on fine points only
     GSF = 12            # GS on fine points only
     CHEBYSHEV = 13      # TPU-native addition: fused Chebyshev polynomial
+    RBGS = 14           # exact red-black GS via parity masks (structured
+                        # path; reference: ItrSmootherRBGS.inl / PreGMG.inl
+                        # gs2d_2color — the only natively-parallel GS there)
 
 
 class CoarseningType(enum.IntEnum):

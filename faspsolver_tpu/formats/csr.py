@@ -43,6 +43,23 @@ class CSRMatrix:
             raise FaspError(ERROR_DATA_STRUCTURE, "bad indptr length")
         if len(self.indices) != len(self.data):
             raise FaspError(ERROR_DATA_STRUCTURE, "indices/data length mismatch")
+        # canonicalize to row-sorted column order.  The reference's on-disk
+        # convention stores the diagonal first in each row (DIAGONAL_PREF);
+        # unsorted rows are a correctness hazard downstream: scipy wrappers
+        # built on views may sort indices into a *copied* index array while
+        # permuting the *shared* data array (int64->int32 index downcast),
+        # silently corrupting this matrix.  Sorting once here makes every
+        # later sort a no-op.
+        if len(self.indices) and self.shape[0]:
+            nnz_per_row = np.diff(self.indptr)
+            rows = np.repeat(np.arange(self.shape[0], dtype=np.int64),
+                             nnz_per_row)
+            within = np.diff(self.indices) <= 0
+            same_row = rows[1:] == rows[:-1]
+            if np.any(within & same_row):
+                order = np.lexsort((self.indices, rows))
+                self.indices = self.indices[order]
+                self.data = self.data[order]
 
     # -- constructors -------------------------------------------------------
 
@@ -228,6 +245,12 @@ class CSRMatrix:
         (MULTI_COLOR_ORDER, fasp.h:42-50; fasp_smoother_dcsr_gs_multicolor).
         """
         n = self.nrow
+        from .. import native
+        out = native.greedy_color(self.indptr, self.indices, n)
+        if out is not None:
+            color, ncolor = out
+            color = color.astype(np.int64)
+            return color, np.bincount(color, minlength=ncolor)
         colors = np.full(n, -1, dtype=np.int64)
         indptr, indices = self.indptr, self.indices
         maxdeg = int(self.row_nnz().max()) if n else 0

@@ -35,30 +35,33 @@ _RESTART_DEC = 3
 
 
 def gmres(A, b, x0=None, M=None, *, tol=1e-6, abstol=1e-18, maxit=500,
-          restart=25, stop_type=int(StopType.REL_RES)) -> SolveResult:
+          restart=25, stop_type=int(StopType.REL_RES),
+          safe: bool = False) -> SolveResult:
     """Restarted right-preconditioned GMRES (reference: fasp_solver_dcsr_pgmres)."""
     return _gmres_family(A, b, x0, M, tol, abstol, maxit, restart, stop_type,
-                         adaptive=False, flexible=False)
+                         adaptive=False, flexible=False, safe=safe)
 
 
 def vgmres(A, b, x0=None, M=None, *, tol=1e-6, abstol=1e-18, maxit=500,
-           restart=25, stop_type=int(StopType.REL_RES)) -> SolveResult:
+           restart=25, stop_type=int(StopType.REL_RES),
+           safe: bool = False) -> SolveResult:
     """Adaptive-restart GMRES (reference: fasp_solver_dcsr_pvgmres)."""
     return _gmres_family(A, b, x0, M, tol, abstol, maxit, restart, stop_type,
-                         adaptive=True, flexible=False)
+                         adaptive=True, flexible=False, safe=safe)
 
 
 def vfgmres(A, b, x0=None, M=None, *, tol=1e-6, abstol=1e-18, maxit=500,
-            restart=25, stop_type=int(StopType.REL_RES)) -> SolveResult:
+            restart=25, stop_type=int(StopType.REL_RES),
+            safe: bool = False) -> SolveResult:
     """Flexible GMRES with variable restart (reference:
     fasp_solver_dcsr_pvfgmres).  The preconditioner may vary per iteration
     (e.g. an inner Krylov solve), so the preconditioned basis Z is stored."""
     return _gmres_family(A, b, x0, M, tol, abstol, maxit, restart, stop_type,
-                         adaptive=True, flexible=True)
+                         adaptive=True, flexible=True, safe=safe)
 
 
 def _gmres_family(A, b, x0, M, tol, abstol, maxit, restart, stop_type,
-                  adaptive, flexible):
+                  adaptive, flexible, safe=False):
     M = resolve_precond(M)
     if x0 is None:
         x0 = jnp.zeros(A.shape[0], dtype=b.dtype)
@@ -66,12 +69,13 @@ def _gmres_family(A, b, x0, M, tol, abstol, maxit, restart, stop_type,
     return _gmres(A, M, jnp.asarray(b), jnp.asarray(x0),
                   jnp.asarray(tol, b.dtype), jnp.asarray(abstol, b.dtype),
                   jnp.asarray(maxit, jnp.int32), restart, stop_type,
-                  adaptive, flexible)
+                  adaptive, flexible, safe)
 
 
-@partial(jax.jit, static_argnames=("R", "stop_type", "adaptive", "flexible"))
+@partial(jax.jit,
+         static_argnames=("R", "stop_type", "adaptive", "flexible", "safe"))
 def _gmres(A, M, b, x0, tol, abstol, maxit, R: int, stop_type: int,
-           adaptive: bool, flexible: bool) -> SolveResult:
+           adaptive: bool, flexible: bool, safe: bool = False) -> SolveResult:
     n = b.shape[0]
     dtype = b.dtype
     R1 = R + 1
@@ -86,7 +90,8 @@ def _gmres(A, M, b, x0, tol, abstol, maxit, R: int, stop_type: int,
         it=jnp.int32(0), x=x0, r=r0, r_norm=r_norm0,
         r_norm_old=r_norm0, relres=relres0, normu=normu0,
         cur_restart=jnp.int32(R), cycles=jnp.int32(0),
-        done=already, status=jnp.int32(0))
+        done=already, status=jnp.int32(0),
+        best_x=x0, best_relres=relres0)
 
     def arnoldi_cycle(x, r, r_norm, cur_restart, it_start):
         """One restart cycle; returns (x_new, inner_steps)."""
@@ -197,12 +202,25 @@ def _gmres(A, M, b, x0, tol, abstol, maxit, R: int, stop_type: int,
             cur = s["cur_restart"]
 
         done = (relres < tol) | (steps == 0)
-        return dict(it=it, x=x, r=r, r_norm=r_norm, r_norm_old=s["r_norm"],
-                    relres=relres,
-                    normu=normu if stop_type == StopType.MOD_REL_RES
-                    else s["normu"], cur_restart=cur,
-                    cycles=s["cycles"] + 1, done=done, status=jnp.int32(0))
+        new = dict(it=it, x=x, r=r, r_norm=r_norm, r_norm_old=s["r_norm"],
+                   relres=relres,
+                   normu=normu if stop_type == StopType.MOD_REL_RES
+                   else s["normu"], cur_restart=cur,
+                   cycles=s["cycles"] + 1, done=done, status=jnp.int32(0),
+                   best_x=s["best_x"], best_relres=s["best_relres"])
+        if safe:
+            # best-iterate tracking per restart cycle (reference:
+            # KrySPgmres.c / KrySPvgmres.c safety net)
+            better = relres < s["best_relres"]
+            new["best_x"] = jnp.where(better, x, s["best_x"])
+            new["best_relres"] = jnp.where(better, relres, s["best_relres"])
+        return new
 
     out = jax.lax.while_loop(cond, body, outer)
-    return SolveResult(x=out["x"], iters=out["it"], relres=out["relres"],
-                       converged=out["relres"] < tol, status=out["status"])
+    converged = out["relres"] < tol
+    x_final = out["x"]
+    if safe:
+        use_best = (~converged) & (out["best_relres"] < out["relres"])
+        x_final = jnp.where(use_best, out["best_x"], out["x"])
+    return SolveResult(x=x_final, iters=out["it"], relres=out["relres"],
+                       converged=converged, status=out["status"])

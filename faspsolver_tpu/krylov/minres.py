@@ -20,17 +20,18 @@ from .result import SolveResult
 
 
 def minres(A, b, x0=None, M=None, *, tol=1e-6, abstol=1e-18, maxit=500,
-           stop_type=int(StopType.REL_RES)) -> SolveResult:
+           stop_type=int(StopType.REL_RES), safe: bool = False) -> SolveResult:
     M = resolve_precond(M)
     if x0 is None:
         x0 = jnp.zeros(A.shape[0], dtype=b.dtype)
     return _minres(A, M, jnp.asarray(b), jnp.asarray(x0),
                    jnp.asarray(tol, b.dtype), jnp.asarray(abstol, b.dtype),
-                   jnp.asarray(maxit, jnp.int32), stop_type)
+                   jnp.asarray(maxit, jnp.int32), stop_type, safe)
 
 
-@partial(jax.jit, static_argnames=("stop_type",))
-def _minres(A, M, b, x0, tol, abstol, maxit, stop_type: int) -> SolveResult:
+@partial(jax.jit, static_argnames=("stop_type", "safe"))
+def _minres(A, M, b, x0, tol, abstol, maxit, stop_type: int,
+            safe: bool = False) -> SolveResult:
     dtype = b.dtype
 
     r0 = b - A(x0)
@@ -49,7 +50,8 @@ def _minres(A, M, b, x0, tol, abstol, maxit, stop_type: int) -> SolveResult:
         s_old=jnp.asarray(0.0, dtype), s=jnp.asarray(0.0, dtype),
         w_oold=jnp.zeros_like(b), w_old=jnp.zeros_like(b),
         eta=beta0, relres=relres0, normu=normu0,
-        done=already | (beta0 <= SMALLREAL), status=jnp.int32(0))
+        done=already | (beta0 <= SMALLREAL), status=jnp.int32(0),
+        best_x=x0, best_relres=relres0)
 
     def cond(s):
         return (~s["done"]) & (s["it"] < maxit)
@@ -94,12 +96,24 @@ def _minres(A, M, b, x0, tol, abstol, maxit, stop_type: int) -> SolveResult:
         done = (claim & (relres < tol)) | (beta_new <= SMALLREAL)
 
         bsafe = jnp.where(beta_new > SMALLREAL, beta_new, 1.0)
-        return dict(
+        new = dict(
             it=it, x=x, v_old=v, v=r_new / bsafe, z=z_unnorm / bsafe,
             beta=beta_new, c_old=c, c=c_new, s_old=s_, s=s_new,
             w_oold=s["w_old"], w_old=w, eta=eta, relres=relres,
-            normu=s["normu"], done=done, status=jnp.int32(0))
+            normu=s["normu"], done=done, status=jnp.int32(0),
+            best_x=s["best_x"], best_relres=s["best_relres"])
+        if safe:
+            # best-iterate tracking (reference: KrySPminres.c safety net)
+            better = relres < s["best_relres"]
+            new["best_x"] = jnp.where(better, x, s["best_x"])
+            new["best_relres"] = jnp.where(better, relres, s["best_relres"])
+        return new
 
     out = jax.lax.while_loop(cond, body, state)
-    return SolveResult(x=out["x"], iters=out["it"], relres=out["relres"],
-                       converged=out["relres"] < tol, status=out["status"])
+    converged = out["relres"] < tol
+    x_final = out["x"]
+    if safe:
+        use_best = (~converged) & (out["best_relres"] < out["relres"])
+        x_final = jnp.where(use_best, out["best_x"], out["x"])
+    return SolveResult(x=x_final, iters=out["it"], relres=out["relres"],
+                       converged=converged, status=out["status"])

@@ -1,0 +1,199 @@
+"""Native (C++) setup kernels, loaded through ctypes.
+
+The TPU compute path is JAX/XLA; the setup phase's irregular graph work
+(ILU factorization, coloring, matching, C/F splitting, level scheduling)
+is sequential host work — the reference implements it as serial C
+(BlaILU.c, BlaSparseCSR.c, PreAMGCoarsenRS.c) and so do we.
+
+The shared library is built on demand with g++ (no pybind11: plain C ABI +
+ctypes).  Every entry point has a NumPy/SciPy fallback in the caller, so
+the framework works without a toolchain; ``available()`` reports status.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fasp_native.cpp")
+_SO = os.path.join(_HERE, "_fasp_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
+            return True
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+               "-fPIC", _SRC, "-o", _SO + ".tmp"]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.fasp_greedy_color.restype = ctypes.c_int
+        lib.fasp_greedy_color.argtypes = [ctypes.c_int, _i32p, _i32p, _i32p]
+        lib.fasp_level_schedule.restype = ctypes.c_int
+        lib.fasp_level_schedule.argtypes = [ctypes.c_int, _i32p, _i32p,
+                                            ctypes.c_int, _i32p]
+        lib.fasp_pairwise_match.restype = ctypes.c_int
+        lib.fasp_pairwise_match.argtypes = [ctypes.c_int, _i32p, _i32p,
+                                            _f64p, _i32p]
+        lib.fasp_vmb_aggregate.restype = ctypes.c_int
+        lib.fasp_vmb_aggregate.argtypes = [ctypes.c_int, _i32p, _i32p, _f64p,
+                                           ctypes.c_int, _i32p]
+        lib.fasp_iluk.restype = ctypes.c_int
+        lib.fasp_iluk.argtypes = [ctypes.c_int, _i32p, _i32p, _f64p,
+                                  ctypes.c_int,
+                                  _i32p, _i32p, _f64p, ctypes.c_int64,
+                                  _i32p, _i32p, _f64p, ctypes.c_int64]
+        lib.fasp_ilut.restype = ctypes.c_int
+        lib.fasp_ilut.argtypes = [ctypes.c_int, _i32p, _i32p, _f64p,
+                                  ctypes.c_int, ctypes.c_double,
+                                  _i32p, _i32p, _f64p, ctypes.c_int64,
+                                  _i32p, _i32p, _f64p, ctypes.c_int64]
+        lib.fasp_rs_cf_split.restype = ctypes.c_int
+        lib.fasp_rs_cf_split.argtypes = [ctypes.c_int, _i32p, _i32p,
+                                         _i32p, _i32p, _i32p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _csr_arrays(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    return indptr, indices, data, A.shape[0]
+
+
+def greedy_color(indptr, indices, n: int) -> Optional[Tuple[np.ndarray, int]]:
+    lib = _load()
+    if lib is None:
+        return None
+    color = np.empty(n, dtype=np.int32)
+    nc = lib.fasp_greedy_color(
+        n, np.ascontiguousarray(indptr, dtype=np.int32),
+        np.ascontiguousarray(indices, dtype=np.int32), color)
+    return color, int(nc)
+
+
+def level_schedule(indptr, indices, n: int, lower: bool
+                   ) -> Optional[Tuple[np.ndarray, int]]:
+    lib = _load()
+    if lib is None:
+        return None
+    depth = np.zeros(n, dtype=np.int32)
+    nlev = lib.fasp_level_schedule(
+        n, np.ascontiguousarray(indptr, dtype=np.int32),
+        np.ascontiguousarray(indices, dtype=np.int32),
+        1 if lower else 0, depth)
+    return depth, int(nlev)
+
+
+def pairwise_match(A) -> Optional[Tuple[np.ndarray, int]]:
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices, data, n = _csr_arrays(A.to_scipy())
+    agg = np.empty(n, dtype=np.int32)
+    nagg = lib.fasp_pairwise_match(n, indptr, indices, data, agg)
+    return agg.astype(np.int64), int(nagg)
+
+
+def vmb_aggregate(S, max_agg: int) -> Optional[Tuple[np.ndarray, int]]:
+    """S: scipy strength graph (no diagonal)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices, data, n = _csr_arrays(S)
+    agg = np.empty(n, dtype=np.int32)
+    nagg = lib.fasp_vmb_aggregate(n, indptr, indices, data,
+                                  int(max_agg), agg)
+    return agg.astype(np.int64), int(nagg)
+
+
+def _ilu_call(fn, A, extra_args, fill_guess: float):
+    import scipy.sparse as sp
+    m = A.to_scipy().tocsr()
+    m.sort_indices()
+    indptr, indices, data, n = _csr_arrays(m)
+    cap = max(int(m.nnz * fill_guess) + n + 16, 64)
+    for _ in range(6):
+        l_indptr = np.zeros(n + 1, dtype=np.int32)
+        u_indptr = np.zeros(n + 1, dtype=np.int32)
+        l_indices = np.empty(cap, dtype=np.int32)
+        l_data = np.empty(cap, dtype=np.float64)
+        u_indices = np.empty(cap, dtype=np.int32)
+        u_data = np.empty(cap, dtype=np.float64)
+        rc = fn(n, indptr, indices, data, *extra_args,
+                l_indptr, l_indices, l_data, cap,
+                u_indptr, u_indices, u_data, cap)
+        if rc == 0:
+            lnnz = int(l_indptr[n])
+            unnz = int(u_indptr[n])
+            L = sp.csr_matrix((l_data[:lnnz], l_indices[:lnnz], l_indptr),
+                              shape=(n, n))
+            U = sp.csr_matrix((u_data[:unnz], u_indices[:unnz], u_indptr),
+                              shape=(n, n))
+            return L, U
+        cap *= 2
+    return None
+
+
+def iluk(A, lfil: int):
+    lib = _load()
+    if lib is None:
+        return None
+    return _ilu_call(lib.fasp_iluk, A, (int(lfil),), 2.0 * (lfil + 1))
+
+
+def ilut(A, lfil: int, droptol: float):
+    lib = _load()
+    if lib is None:
+        return None
+    return _ilu_call(lib.fasp_ilut, A, (int(max(lfil, 1)), float(droptol)),
+                     3.0)
+
+
+def rs_cf_split(S) -> Optional[np.ndarray]:
+    """Classical RS first-pass C/F splitting.  S: scipy strength CSR."""
+    lib = _load()
+    if lib is None:
+        return None
+    ST = S.T.tocsr()
+    s_indptr, s_indices, _, n = _csr_arrays(S)
+    st_indptr = np.ascontiguousarray(ST.indptr, dtype=np.int32)
+    st_indices = np.ascontiguousarray(ST.indices, dtype=np.int32)
+    cf = np.empty(n, dtype=np.int32)
+    lib.fasp_rs_cf_split(n, s_indptr, s_indices, st_indptr, st_indices, cf)
+    return cf

@@ -1,0 +1,446 @@
+// fasp_native — native host-side graph/factorization kernels.
+//
+// The compute path of the framework is JAX/XLA/Pallas on TPU; these are the
+// *setup-phase* irregular graph algorithms (the part the reference
+// implements as serial C: BlaILU.c, BlaSparseCSR.c multicoloring,
+// PreAMGAggregation*.inl, BlaILUSetupBSR.c topologic_sort_ILU).  They are
+// sequential pointer-chasing workloads — the wrong shape for a TPU and for
+// NumPy — so they live here as a small C++ library with a plain C ABI,
+// loaded via ctypes (no pybind11 dependency).
+//
+// Conventions: CSR int32 indptr/indices, float64 data, 0-based, rows sorted.
+// All functions return >= 0 on success; negative values are error/overflow
+// codes documented per function.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <set>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Greedy distance-1 multicoloring (reference: dCSRmat_Multicoloring,
+// BlaSparseCSR.c:1687).  color[n] out; returns number of colors.
+// ---------------------------------------------------------------------------
+int fasp_greedy_color(int n, const int32_t* indptr, const int32_t* indices,
+                      int32_t* color) {
+    std::vector<int32_t> mark(n + 1, -1);
+    int ncolor = 0;
+    for (int i = 0; i < n; ++i) color[i] = -1;
+    for (int i = 0; i < n; ++i) {
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            int32_t j = indices[p];
+            if (j != i && color[j] >= 0) mark[color[j]] = i;
+        }
+        int c = 0;
+        while (c < n && mark[c] == i) ++c;
+        color[i] = c;
+        if (c + 1 > ncolor) ncolor = c + 1;
+    }
+    return ncolor;
+}
+
+// ---------------------------------------------------------------------------
+// Triangular dependency levels (reference: topologic_sort_ILU,
+// BlaILUSetupBSR.c).  depth[n] out; returns number of levels.
+// lower != 0: dependencies are cols < row; else cols > row.
+// ---------------------------------------------------------------------------
+int fasp_level_schedule(int n, const int32_t* indptr, const int32_t* indices,
+                        int lower, int32_t* depth) {
+    int nlev = 0;
+    if (lower) {
+        for (int i = 0; i < n; ++i) {
+            int32_t d = 0;
+            for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+                int32_t j = indices[p];
+                if (j < i && depth[j] + 1 > d) d = depth[j] + 1;
+            }
+            depth[i] = d;
+            if (d + 1 > nlev) nlev = d + 1;
+        }
+    } else {
+        for (int i = n - 1; i >= 0; --i) {
+            int32_t d = 0;
+            for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+                int32_t j = indices[p];
+                if (j > i && depth[j] + 1 > d) d = depth[j] + 1;
+            }
+            depth[i] = d;
+            if (d + 1 > nlev) nlev = d + 1;
+        }
+    }
+    return nlev;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy pairwise matching aggregation (reference: aggregation_symmpair,
+// PreAMGAggregationUA.inl:363).  Matches each unaggregated node with its
+// strongest-negative unmatched neighbour.  agg[n] out (aggregate id per
+// node); returns number of aggregates.
+// ---------------------------------------------------------------------------
+int fasp_pairwise_match(int n, const int32_t* indptr, const int32_t* indices,
+                        const double* data, int32_t* agg) {
+    for (int i = 0; i < n; ++i) agg[i] = -1;
+    int nagg = 0;
+    for (int i = 0; i < n; ++i) {
+        if (agg[i] != -1) continue;
+        int best = -1;
+        double bestv = 0.0;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            int32_t j = indices[p];
+            if (j == i || agg[j] != -1) continue;
+            double v = data[p];
+            if (v < bestv) { bestv = v; best = j; }
+        }
+        agg[i] = nagg;
+        if (best >= 0) agg[best] = nagg;
+        ++nagg;
+    }
+    return nagg;
+}
+
+// ---------------------------------------------------------------------------
+// VMB greedy aggregation on a strength graph (reference: aggregation_vmb,
+// PreAMGAggregation.inl:368).  S is the strength adjacency (no diagonal);
+// sdata its weights.  agg[n] out; returns number of aggregates.
+// ---------------------------------------------------------------------------
+int fasp_vmb_aggregate(int n, const int32_t* indptr, const int32_t* indices,
+                       const double* sdata, int max_agg, int32_t* agg) {
+    for (int i = 0; i < n; ++i) agg[i] = -1;
+    int nagg = 0;
+    std::vector<int32_t> count;
+    // pass 1: fully-free strong neighborhoods become aggregates
+    for (int i = 0; i < n; ++i) {
+        if (agg[i] != -1 || indptr[i] == indptr[i + 1]) continue;
+        bool all_free = true;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+            if (agg[indices[p]] != -1) { all_free = false; break; }
+        if (!all_free) continue;
+        agg[i] = nagg;
+        int taken = 1;
+        for (int32_t p = indptr[i]; p < indptr[i + 1] && taken < max_agg; ++p) {
+            agg[indices[p]] = nagg;
+            ++taken;
+        }
+        count.push_back(taken);
+        ++nagg;
+    }
+    // pass 2: attach to strongest neighbouring aggregate with room
+    for (int i = 0; i < n; ++i) {
+        if (agg[i] != -1 || indptr[i] == indptr[i + 1]) continue;
+        int best = -1;
+        double bestv = -1.0;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            int32_t a = agg[indices[p]];
+            if (a >= 0 && count[a] < max_agg && std::fabs(sdata[p]) > bestv) {
+                bestv = std::fabs(sdata[p]);
+                best = a;
+            }
+        }
+        if (best >= 0) { agg[i] = best; ++count[best]; }
+    }
+    // pass 3: leftovers group with their free strong neighbours
+    for (int i = 0; i < n; ++i) {
+        if (agg[i] != -1 || indptr[i] == indptr[i + 1]) continue;
+        agg[i] = nagg;
+        int taken = 1;
+        for (int32_t p = indptr[i]; p < indptr[i + 1] && taken < max_agg; ++p) {
+            int32_t j = indices[p];
+            if (agg[j] == -1) { agg[j] = nagg; ++taken; }
+        }
+        count.push_back(taken);
+        ++nagg;
+    }
+    // isolated nodes become singletons
+    for (int i = 0; i < n; ++i)
+        if (agg[i] == -1) { agg[i] = nagg; ++nagg; }
+    return nagg;
+}
+
+// ---------------------------------------------------------------------------
+// ILU(k): symbolic level-of-fill + numeric IKJ factorization
+// (reference: fasp_symbfactor + fasp_iluk, BlaILU.c:72).
+//
+// Outputs CSR L (unit diagonal stored) and U (diagonal stored).
+// l_cap / u_cap are the capacities of the index/data buffers.
+// Returns 0 on success, -1 on capacity overflow (caller: grow + retry),
+// -2 on zero pivot structurally skipped (factorization continues, like the
+// reference which guards ukk==0).
+// ---------------------------------------------------------------------------
+int fasp_iluk(int n, const int32_t* indptr, const int32_t* indices,
+              const double* data, int lfil,
+              int32_t* l_indptr, int32_t* l_indices, double* l_data,
+              int64_t l_cap,
+              int32_t* u_indptr, int32_t* u_indices, double* u_data,
+              int64_t u_cap) {
+    // per-row U patterns with levels, kept for the whole factorization
+    std::vector<std::vector<int32_t>> ucols(n);
+    std::vector<std::vector<int32_t>> ulevs(n);
+    std::vector<std::vector<double>> uvals(n);
+
+    std::vector<int32_t> pos(n, -1);     // col -> slot in w
+    std::vector<int32_t> wcols;          // active columns of row i
+    std::vector<int32_t> wlevs;
+    std::vector<double> wvals;
+
+    int64_t lnnz = 0, unnz = 0;
+    l_indptr[0] = 0;
+    u_indptr[0] = 0;
+
+    for (int i = 0; i < n; ++i) {
+        wcols.clear(); wlevs.clear(); wvals.clear();
+        auto add = [&](int32_t j, int32_t lev, double v) {
+            pos[j] = (int32_t)wcols.size();
+            wcols.push_back(j); wlevs.push_back(lev); wvals.push_back(v);
+        };
+        bool has_diag = false;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            add(indices[p], 0, data[p]);
+            if (indices[p] == i) has_diag = true;
+        }
+        if (!has_diag) add(i, 0, 0.0);
+
+        // eliminate lower columns in ascending order
+        std::set<int32_t> lower;
+        for (int32_t j : wcols) if (j < i) lower.insert(j);
+        while (!lower.empty()) {
+            int32_t k = *lower.begin();
+            lower.erase(lower.begin());
+            int32_t pk = pos[k];
+            int32_t lev_ik = wlevs[pk];
+            // find U_kk
+            const auto& ukc = ucols[k];
+            const auto& ukv = uvals[k];
+            const auto& ukl = ulevs[k];
+            double ukk = 0.0;
+            for (size_t q = 0; q < ukc.size(); ++q)
+                if (ukc[q] == k) { ukk = ukv[q]; break; }
+            if (ukk == 0.0) continue;
+            double lik = wvals[pk] / ukk;
+            wvals[pk] = lik;
+            for (size_t q = 0; q < ukc.size(); ++q) {
+                int32_t j = ukc[q];
+                if (j <= k) continue;
+                int32_t lev_new = lev_ik + ukl[q] + 1;
+                int32_t pj = pos[j];
+                if (pj >= 0 && (size_t)pj < wcols.size() && wcols[pj] == j) {
+                    wvals[pj] -= lik * ukv[q];
+                    if (lev_new < wlevs[pj]) wlevs[pj] = lev_new;
+                } else if (lev_new <= lfil) {
+                    add(j, lev_new, -lik * ukv[q]);
+                    if (j < i) lower.insert(j);
+                }
+            }
+        }
+
+        // split into L and U (sorted), store U pattern for later rows
+        std::vector<int32_t> order(wcols.size());
+        for (size_t q = 0; q < order.size(); ++q) order[q] = (int32_t)q;
+        std::sort(order.begin(), order.end(),
+                  [&](int32_t a, int32_t b) { return wcols[a] < wcols[b]; });
+        for (int32_t q : order) {
+            int32_t j = wcols[q];
+            if (wlevs[q] > lfil) continue;
+            if (j < i) {
+                if (lnnz >= l_cap) return -1;
+                l_indices[lnnz] = j; l_data[lnnz] = wvals[q]; ++lnnz;
+            } else {
+                if (unnz >= u_cap) return -1;
+                u_indices[unnz] = j; u_data[unnz] = wvals[q]; ++unnz;
+                ucols[i].push_back(j);
+                ulevs[i].push_back(wlevs[q]);
+                uvals[i].push_back(wvals[q]);
+            }
+        }
+        // unit diagonal of L
+        if (lnnz >= l_cap) return -1;
+        l_indices[lnnz] = i; l_data[lnnz] = 1.0; ++lnnz;
+        l_indptr[i + 1] = (int32_t)lnnz;
+        u_indptr[i + 1] = (int32_t)unnz;
+        // reset pos
+        for (int32_t j : wcols) pos[j] = -1;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// ILUt: dual-threshold row factorization (reference: fasp_ilut,
+// BlaILU.c:467).  Keeps at most lfil entries per row part beyond the
+// original pattern (Saad's ILUT(p, tau)).  Same buffer protocol as iluk.
+// ---------------------------------------------------------------------------
+int fasp_ilut(int n, const int32_t* indptr, const int32_t* indices,
+              const double* data, int lfil, double droptol,
+              int32_t* l_indptr, int32_t* l_indices, double* l_data,
+              int64_t l_cap,
+              int32_t* u_indptr, int32_t* u_indices, double* u_data,
+              int64_t u_cap) {
+    std::vector<std::vector<int32_t>> ucols(n);
+    std::vector<std::vector<double>> uvals(n);
+    std::vector<int32_t> pos(n, -1);
+    std::vector<int32_t> wcols;
+    std::vector<double> wvals;
+
+    int64_t lnnz = 0, unnz = 0;
+    l_indptr[0] = 0;
+    u_indptr[0] = 0;
+
+    for (int i = 0; i < n; ++i) {
+        wcols.clear(); wvals.clear();
+        double rownorm = 0.0;
+        int nrow = indptr[i + 1] - indptr[i];
+        auto add = [&](int32_t j, double v) {
+            pos[j] = (int32_t)wcols.size();
+            wcols.push_back(j); wvals.push_back(v);
+        };
+        bool has_diag = false;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            add(indices[p], data[p]);
+            rownorm += std::fabs(data[p]);
+            if (indices[p] == i) has_diag = true;
+        }
+        if (!has_diag) add(i, 0.0);
+        rownorm /= std::max(nrow, 1);
+        double tau = droptol * rownorm;
+
+        std::set<int32_t> lower;
+        for (int32_t j : wcols) if (j < i) lower.insert(j);
+        while (!lower.empty()) {
+            int32_t k = *lower.begin();
+            lower.erase(lower.begin());
+            int32_t pk = pos[k];
+            const auto& ukc = ucols[k];
+            const auto& ukv = uvals[k];
+            double ukk = 0.0;
+            for (size_t q = 0; q < ukc.size(); ++q)
+                if (ukc[q] == k) { ukk = ukv[q]; break; }
+            if (ukk == 0.0) continue;
+            // drop small multipliers by the pre-division magnitude (same
+            // units as A, like the reference's tnorm-relative drop rule)
+            if (std::fabs(wvals[pk]) < tau) { wvals[pk] = 0.0; continue; }
+            double lik = wvals[pk] / ukk;
+            wvals[pk] = lik;
+            for (size_t q = 0; q < ukc.size(); ++q) {
+                int32_t j = ukc[q];
+                if (j <= k) continue;
+                int32_t pj = pos[j];
+                if (pj >= 0 && (size_t)pj < wcols.size() && wcols[pj] == j) {
+                    wvals[pj] -= lik * ukv[q];
+                } else {
+                    double v = -lik * ukv[q];
+                    if (std::fabs(v) >= tau) {
+                        add(j, v);
+                        if (j < i) lower.insert(j);
+                    }
+                }
+            }
+        }
+
+        // dropping: keep lfil+original largest in each part
+        std::vector<int32_t> lpart, upart;
+        double diag = 0.0;
+        for (size_t q = 0; q < wcols.size(); ++q) {
+            int32_t j = wcols[q];
+            double v = wvals[q];
+            if (j == i) { diag = v; continue; }
+            if (j < i) {
+                // L holds unitless multipliers: threshold is droptol itself
+                if (std::fabs(v) >= droptol) lpart.push_back((int32_t)q);
+            } else {
+                if (std::fabs(v) >= tau) upart.push_back((int32_t)q);
+            }
+        }
+        size_t keep = (size_t)std::max(lfil, 1) + (size_t)nrow;
+        auto trim = [&](std::vector<int32_t>& part) {
+            if (part.size() > keep) {
+                std::nth_element(
+                    part.begin(), part.begin() + keep, part.end(),
+                    [&](int32_t a, int32_t b) {
+                        return std::fabs(wvals[a]) > std::fabs(wvals[b]);
+                    });
+                part.resize(keep);
+            }
+            std::sort(part.begin(), part.end(),
+                      [&](int32_t a, int32_t b) {
+                          return wcols[a] < wcols[b];
+                      });
+        };
+        trim(lpart); trim(upart);
+
+        for (int32_t q : lpart) {
+            if (lnnz >= l_cap) return -1;
+            l_indices[lnnz] = wcols[q]; l_data[lnnz] = wvals[q]; ++lnnz;
+        }
+        if (lnnz >= l_cap) return -1;
+        l_indices[lnnz] = i; l_data[lnnz] = 1.0; ++lnnz;
+
+        if (diag == 0.0) diag = tau != 0.0 ? tau : 1e-12;
+        if (unnz >= u_cap) return -1;
+        u_indices[unnz] = i; u_data[unnz] = diag; ++unnz;
+        ucols[i].push_back(i); uvals[i].push_back(diag);
+        for (int32_t q : upart) {
+            if (unnz >= u_cap) return -1;
+            u_indices[unnz] = wcols[q]; u_data[unnz] = wvals[q]; ++unnz;
+            ucols[i].push_back(wcols[q]); uvals[i].push_back(wvals[q]);
+        }
+        l_indptr[i + 1] = (int32_t)lnnz;
+        u_indptr[i + 1] = (int32_t)unnz;
+        for (int32_t j : wcols) pos[j] = -1;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Classical Ruge-Stuben C/F splitting, first pass (reference:
+// cfsplitting_cls, PreAMGCoarsenRS.c).  S is the strength graph (CSR,
+// "i strongly depends on j"), ST its transpose.  cf[n] out: 1=C, 0=F.
+// Returns number of C points.
+// ---------------------------------------------------------------------------
+int fasp_rs_cf_split(int n, const int32_t* s_indptr, const int32_t* s_indices,
+                     const int32_t* st_indptr, const int32_t* st_indices,
+                     int32_t* cf) {
+    // lambda = |S^T_i| (how many depend on i), bucket-sorted worklist
+    std::vector<int64_t> lambda(n);
+    for (int i = 0; i < n; ++i)
+        lambda[i] = st_indptr[i + 1] - st_indptr[i];
+    const int32_t UNDECIDED = -1;
+    for (int i = 0; i < n; ++i) cf[i] = UNDECIDED;
+
+    // max-heap of (lambda, node) with lazy updates
+    std::priority_queue<std::pair<int64_t, int32_t>> heap;
+    for (int i = 0; i < n; ++i) heap.push({lambda[i], i});
+
+    int nc = 0;
+    while (!heap.empty()) {
+        auto [lam, i] = heap.top();
+        heap.pop();
+        if (cf[i] != UNDECIDED || lam != lambda[i]) continue;
+        if (lambda[i] == 0) { cf[i] = 1; ++nc; continue; }  // isolated -> C
+        cf[i] = 1; ++nc;                                     // C point
+        // neighbours that depend on i become F
+        for (int32_t p = st_indptr[i]; p < st_indptr[i + 1]; ++p) {
+            int32_t j = st_indices[p];
+            if (cf[j] != UNDECIDED) continue;
+            cf[j] = 0;                                       // F point
+            // nodes j depends on get more important
+            for (int32_t q = s_indptr[j]; q < s_indptr[j + 1]; ++q) {
+                int32_t k = s_indices[q];
+                if (cf[k] == UNDECIDED) {
+                    ++lambda[k];
+                    heap.push({lambda[k], k});
+                }
+            }
+        }
+        // nodes i depends on get less important
+        for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+            int32_t k = s_indices[p];
+            if (cf[k] == UNDECIDED && lambda[k] > 0) --lambda[k];
+        }
+    }
+    return nc;
+}
+
+}  // extern "C"

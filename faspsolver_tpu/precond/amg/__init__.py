@@ -9,6 +9,8 @@ from .setup_bsr import setup_ua_bsr
 from .setup_rs import setup_rs
 from .setup_sa import setup_sa
 from .setup_ua import setup_ua
+from .structured import (PairProlong, PairRestrict, detect_dims,
+                         setup_structured)
 from .smoothers import SmootherData, build_smoother, smooth
 from .solve import amg_solve, famg_solve
 from .transfer import AggProlong, AggRestrict, csr_transfer
@@ -20,7 +22,8 @@ __all__ = [
     "AMGHierarchy", "AMGLevel", "CoarseSolver",
     "cf_split_pmis", "cf_split_rs", "coarsen", "strong_couplings",
     "interp_direct", "interp_standard", "interpolate", "truncate",
-    "setup_rs", "setup_sa", "setup_ua", "setup_ua_bsr",
+    "setup_rs", "setup_sa", "setup_ua", "setup_ua_bsr", "setup_structured",
+    "detect_dims", "PairProlong", "PairRestrict",
     "BsrSmootherData", "build_bsr_smoother",
     "SmootherData", "build_smoother", "smooth",
     "amg_solve", "famg_solve",

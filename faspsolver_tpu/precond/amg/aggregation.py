@@ -9,16 +9,12 @@ the reference, whose setup is serial C; only the solve phase is device code.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
-import jax as _jax
 import numpy as np
 import scipy.sparse as sp
 
 from ...formats import CSRMatrix
-
-_partial_jit_match = partial(_jax.jit, static_argnames=("nn", "rounds"))
 
 
 def strength_graph(A: CSRMatrix, theta: float) -> sp.csr_matrix:
@@ -49,6 +45,10 @@ def aggregate_vmb(A: CSRMatrix, theta: float, max_aggregation: int = 20
     """
     n = A.nrow
     S = strength_graph(A, theta)
+    from ... import native
+    out = native.vmb_aggregate(S, max_aggregation)
+    if out is not None:
+        return out
     indptr, indices = S.indptr, S.indices
     agg = np.full(n, -1, dtype=np.int64)
     nagg = 0
@@ -117,11 +117,23 @@ def aggregate_pairwise(A: CSRMatrix, k_pairs: int = 2,
     neighbor; ``k_pairs`` passes compose to aggregates of size up to
     2^k_pairs.
     """
+    from ... import native
+
     n = A.nrow
     agg = np.arange(n, dtype=np.int64)
     cur = A
     maps = []
     for _ in range(k_pairs):
+        nat = native.pairwise_match(cur)
+        if nat is not None:
+            pair, nagg = nat
+            m = cur.to_scipy().tocsr()
+            nn = cur.nrow
+            maps.append((pair, nagg))
+            P = sp.csr_matrix((np.ones(nn), (np.arange(nn), pair)),
+                              shape=(nn, nagg))
+            cur = CSRMatrix.from_scipy((P.T @ m @ P).tocsr())
+            continue
         m = cur.to_scipy().tocsr()
         nn = cur.nrow
         pair = np.full(nn, -1, dtype=np.int64)
@@ -177,55 +189,28 @@ def _rap_boolean(A: CSRMatrix, agg: np.ndarray, nagg: int) -> CSRMatrix:
 
 
 def _match_rounds(eu, ev, escore, nn: int, rounds: int) -> np.ndarray:
-    """Luby-style heavy-edge matching on device: an edge matches when it is
-    the best (lowest-score) free edge of BOTH its endpoints.  All segment
-    ops — runs as one jitted XLA program (setup itself is accelerated).
+    """Luby-style heavy-edge matching, pure NumPy: an edge matches when it
+    is the best (lowest-score) free edge of BOTH its endpoints.
 
-    Shapes are padded to power-of-two buckets so the compiled program is
-    reused across hierarchy levels and problem sizes.
+    Host-side on purpose: AMG setup is irregular graph work; pushing it to
+    the device costs a fresh XLA compile per level shape and round-trip
+    transfers, which dominates setup time (measured).  The reference's
+    setup is serial C for the same reason (SURVEY.md §7 design stance).
     """
-    import jax
-    import jax.numpy as jnp
-
-    def pow2(x):
-        return 1 << max(int(x) - 1, 0).bit_length()
-
-    ne = len(eu)
-    ne_pad = pow2(ne)
-    nn_pad = pow2(nn + 1)
-    dummy = nn_pad - 1
-    eu_p = np.full(ne_pad, dummy, dtype=np.int32)
-    ev_p = np.full(ne_pad, dummy, dtype=np.int32)
-    s_p = np.full(ne_pad, np.inf, dtype=np.float32)
-    eu_p[:ne] = eu
-    ev_p[:ne] = ev
-    s_p[:ne] = escore
-    out = _match_rounds_jit(jnp.asarray(eu_p), jnp.asarray(ev_p),
-                            jnp.asarray(s_p), nn_pad, rounds)
-    return np.asarray(out)[:nn]
-
-
-@_partial_jit_match
-def _match_rounds_jit(eu, ev, escore, nn: int, rounds: int):
-    import jax
-    import jax.numpy as jnp
-    seg = jnp.concatenate([eu, ev])
-
-    def body(_, matched):
+    matched = np.full(nn, -1, dtype=np.int64)
+    seg = np.concatenate([eu, ev])
+    for _ in range(rounds):
         free = matched == -1
-        edge_free = free[eu] & free[ev] & jnp.isfinite(escore)
-        s = jnp.where(edge_free, escore, jnp.inf)
-        nodemin = jax.ops.segment_min(jnp.concatenate([s, s]), seg,
-                                      num_segments=nn)
+        edge_free = free[eu] & free[ev] & np.isfinite(escore)
+        if not edge_free.any():
+            break
+        s = np.where(edge_free, escore, np.inf)
+        nodemin = np.full(nn, np.inf)
+        np.minimum.at(nodemin, seg, np.concatenate([s, s]))
         sel = edge_free & (s == nodemin[eu]) & (s == nodemin[ev])
-        matched = matched.at[jnp.where(sel, eu, nn)].set(
-            jnp.where(sel, ev, 0), mode="drop")
-        matched = matched.at[jnp.where(sel, ev, nn)].set(
-            jnp.where(sel, eu, 0), mode="drop")
-        return matched
-
-    return jax.lax.fori_loop(0, rounds, body,
-                             jnp.full(nn, -1, jnp.int32))
+        matched[eu[sel]] = ev[sel]
+        matched[ev[sel]] = eu[sel]
+    return matched
 
 
 def aggregate_pairwise_fast(A: CSRMatrix, k_pairs: int = 2,

@@ -1,0 +1,255 @@
+"""Host-side band (stencil) algebra for the structured AMG setup.
+
+Everything the structured setup needs — operator products, smoothed-P
+Galerkin triple products, pair-aggregation RAP, spectral bounds — expressed
+directly on per-axis band coordinates, fully vectorized NumPy, O(k^2 n).
+This replaces general sparse SpGEMM in the setup loop (the reference's
+fasp_blas_dcsr_rap, BlaSpmvCSR.c:999, is the analogous specialized fused
+triple product; here the stencil structure lets the product be computed
+band-by-band with no symbolic pass at all).
+
+A :class:`BandMatrix` stores bands keyed by per-axis coordinate offsets
+(e.g. (dy, dx)), which makes the algebra exact: flat offsets are ambiguous
+(a +1 flat offset could be an x-neighbor or a row-wrap), so construction
+validates that every nonzero decomposes into small per-axis offsets and
+refuses otherwise (callers then fall back to the general sparse path).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+Coord = Tuple[int, ...]
+
+
+def _strides(dims: Tuple[int, ...]) -> Tuple[int, ...]:
+    s = [1] * len(dims)
+    for i in range(len(dims) - 2, -1, -1):
+        s[i] = s[i + 1] * dims[i + 1]
+    return tuple(s)
+
+
+@dataclass
+class BandMatrix:
+    """Square matrix on a structured index grid, stored as coordinate bands.
+
+    ``bands[c][idx] = A[idx, idx + c]`` with idx an nd grid coordinate and
+    c a per-axis offset tuple; positions where idx + c falls off the grid
+    hold 0.
+    """
+
+    dims: Tuple[int, ...]
+    bands: Dict[Coord, np.ndarray] = field(default_factory=dict)
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.dims))
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_csr(cls, A, dims: Tuple[int, ...], max_c: int = 4
+                 ) -> Optional["BandMatrix"]:
+        """Decompose a CSR matrix into coordinate bands; None if any entry
+        does not fit the structure (wrap entries, long-range couplings).
+
+        Per-band path: extract flat diagonals once (O(nnz)), then decompose
+        each flat offset into axis coordinates and verify the band has no
+        boundary-wrapping entries.
+        """
+        from ...ops.operators import dia_bands_from_csr
+
+        n = int(np.prod(dims))
+        if A.nrow != n or A.ncol != n:
+            return None
+        st = _strides(dims)
+        offsets, flat = dia_bands_from_csr(A)
+        out = cls(dims=tuple(dims))
+        for k, o in enumerate(offsets):
+            rem = int(o)
+            coord = []
+            for s in st[:-1]:
+                c = int(np.rint(rem / s))
+                coord.append(c)
+                rem -= c * s
+            coord.append(rem)
+            if max(abs(c) for c in coord) > max_c:
+                return None
+            band = flat[k].reshape(dims)
+            # validate: positions whose column coordinate falls off the
+            # grid must hold zero — otherwise the flat offset was a wrap
+            # (e.g. +1 from a row end) and the decomposition is wrong
+            for ax, (c, d) in enumerate(zip(coord, dims)):
+                if c == 0:
+                    continue
+                idx = [slice(None)] * len(dims)
+                idx[ax] = slice(d - c, d) if c > 0 else slice(0, -c)
+                if np.any(band[tuple(idx)]):
+                    return None
+            coord = tuple(coord)
+            if coord in out.bands:
+                out.bands[coord] = out.bands[coord] + band
+            else:
+                out.bands[coord] = band
+        return out
+
+    # -- exports -----------------------------------------------------------
+
+    def flat_offsets(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(offsets, row-aligned (k, n) band array) for DiaOperator."""
+        st = _strides(self.dims)
+        items = sorted(self.bands.items(),
+                       key=lambda kv: sum(c * s for c, s in zip(kv[0], st)))
+        offsets = np.array([sum(c * s for c, s in zip(co, st))
+                            for co, _ in items], dtype=np.int64)
+        flat = np.stack([b.reshape(-1) for _, b in items])
+        return offsets, flat
+
+    def to_csr(self):
+        from ...formats import CSRMatrix
+        import scipy.sparse as sp
+        offsets, flat = self.flat_offsets()
+        n = self.n
+        rows_l, cols_l, vals_l = [], [], []
+        for k, o in enumerate(offsets):
+            o = int(o)
+            idx = np.arange(max(0, -o), min(n, n - o))
+            v = flat[k, idx]
+            nz = v != 0.0
+            rows_l.append(idx[nz])
+            cols_l.append(idx[nz] + o)
+            vals_l.append(v[nz])
+        m = sp.csr_matrix((np.concatenate(vals_l),
+                           (np.concatenate(rows_l), np.concatenate(cols_l))),
+                          shape=(n, n))
+        m.sum_duplicates()
+        return CSRMatrix.from_scipy(m)
+
+    def to_dense(self) -> np.ndarray:
+        n = self.n
+        out = np.zeros((n, n))
+        offsets, flat = self.flat_offsets()
+        for k, o in enumerate(offsets):
+            o = int(o)
+            idx = np.arange(max(0, -o), min(n, n - o))
+            out[idx, idx + o] = flat[k, idx]
+        return out
+
+    def diagonal(self) -> np.ndarray:
+        z = tuple(0 for _ in self.dims)
+        if z in self.bands:
+            return self.bands[z].reshape(-1).copy()
+        return np.zeros(self.n)
+
+    def nnz(self) -> int:
+        return sum(int(np.count_nonzero(b)) for b in self.bands.values())
+
+    # -- algebra -----------------------------------------------------------
+
+    def _shifted(self, band: np.ndarray, shift: Coord) -> np.ndarray:
+        """out[idx] = band[idx + shift] (zero where out of range)."""
+        out = np.zeros_like(band)
+        src = []
+        dst = []
+        for ax, (s, d) in enumerate(zip(shift, self.dims)):
+            if s >= 0:
+                src.append(slice(s, d))
+                dst.append(slice(0, d - s))
+            else:
+                src.append(slice(0, d + s))
+                dst.append(slice(-s, d))
+        out[tuple(dst)] = band[tuple(src)]
+        return out
+
+    def scale_rows(self, v: np.ndarray) -> "BandMatrix":
+        """diag(v) @ A."""
+        vg = v.reshape(self.dims)
+        return BandMatrix(self.dims,
+                          {c: vg * b for c, b in self.bands.items()})
+
+    def scale_cols(self, v: np.ndarray) -> "BandMatrix":
+        """A @ diag(v):  band[c][idx] *= v[idx + c]."""
+        vg = v.reshape(self.dims)
+        return BandMatrix(self.dims,
+                          {c: b * self._shifted(vg, c)
+                           for c, b in self.bands.items()})
+
+    def add_identity(self, alpha: float = 1.0) -> "BandMatrix":
+        out = {c: b.copy() for c, b in self.bands.items()}
+        z = tuple(0 for _ in self.dims)
+        if z in out:
+            out[z] = out[z] + alpha
+        else:
+            out[z] = np.full(self.dims, alpha)
+        return BandMatrix(self.dims, out)
+
+    def scaled(self, alpha: float) -> "BandMatrix":
+        return BandMatrix(self.dims,
+                          {c: alpha * b for c, b in self.bands.items()})
+
+    def matmul(self, other: "BandMatrix") -> "BandMatrix":
+        """C = self @ other:
+        C[r, r+c1+c2] += self[r, r+c1] * other[r+c1, r+c1+c2]."""
+        out: Dict[Coord, np.ndarray] = {}
+        for c1, b1 in self.bands.items():
+            for c2, b2 in other.bands.items():
+                c = tuple(a + b for a, b in zip(c1, c2))
+                contrib = b1 * self._shifted(b2, c1)
+                if c in out:
+                    out[c] += contrib
+                else:
+                    out[c] = contrib
+        out = {c: b for c, b in out.items() if np.any(b)}
+        return BandMatrix(self.dims, out)
+
+    def transpose(self) -> "BandMatrix":
+        """B[r, r+c] = A[r+c, r]  ->  band_T[c][idx] = band[-c][idx + c]."""
+        out = {}
+        for c, b in self.bands.items():
+            mc = tuple(-x for x in c)
+            out[mc] = self._shifted(b, mc)
+        return BandMatrix(self.dims, out)
+
+    def pair_rap(self, ax: int, s: int = 2) -> "BandMatrix":
+        """Exact Galerkin product P^T A P for boolean group aggregation
+        along axis ``ax`` (aggregates {sJ..sJ+s-1}), directly in band
+        space: a fine entry at rows sJ+a with axis-offset component c lands
+        on coarse offset oc = (c + a - b)/s where b = (c + a) mod s."""
+        d = self.dims[ax]
+        dc = (d + s - 1) // s
+        cdims = list(self.dims)
+        cdims[ax] = dc
+        cdims = tuple(cdims)
+        out: Dict[Coord, np.ndarray] = {}
+        for c, band in self.bands.items():
+            comp = c[ax]
+            for a in range(s):
+                bb = (comp + a) % s
+                oc = (comp + a - bb) // s
+                cc = list(c)
+                cc[ax] = oc
+                cc = tuple(cc)
+                # dest[..., J, ...] += band[..., s*J + a, ...]
+                nsrc = (d - a + s - 1) // s      # J with s*J + a < d
+                if nsrc <= 0:
+                    continue
+                src = [slice(None)] * len(self.dims)
+                src[ax] = slice(a, a + s * (nsrc - 1) + 1, s)
+                dst = [slice(None)] * len(self.dims)
+                dst[ax] = slice(0, nsrc)
+                if cc not in out:
+                    out[cc] = np.zeros(cdims)
+                out[cc][tuple(dst)] += band[tuple(src)]
+        out = {c: v for c, v in out.items() if np.any(v)}
+        return BandMatrix(cdims, out)
+
+    def gershgorin_dinv_lambda(self) -> float:
+        """Upper bound on lambda_max(D^-1 A): max_i dinv_i * sum_j |a_ij|."""
+        d = self.diagonal()
+        dinv = 1.0 / np.where(d != 0.0, d, 1.0)
+        s = np.zeros(self.n)
+        for b in self.bands.values():
+            s += np.abs(b.reshape(-1))
+        return float(np.max(np.abs(dinv) * s)) if self.n else 1.0

@@ -33,24 +33,29 @@ class AMGLevel:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class CoarseSolver:
-    """Dense LU of the coarsest operator, applied on device (MXU path).
+    """Coarsest-grid direct solve as a dense inverse matmul (MXU path).
 
     Reference gathers the coarsest grid into a serial direct solver
     (fasp_coarse_itsolver / UMFPACK / MUMPS, PreMGCycle.c:156-202 and
-    PreAMGSetupRS.c:276-313); the TPU equivalent is a dense factorization
-    living on-chip.
+    PreAMGSetupRS.c:276-313).  Here the factorization runs on host at setup
+    (in float64, like the reference's direct solvers) and the device keeps
+    the inverse: the apply is one (n,n)x(n,) matmul — no on-device LU,
+    which TPU backends don't support in f64 anyway.
     """
 
-    lu: jax.Array
-    piv: jax.Array
+    inv: jax.Array
 
     def __call__(self, b: jax.Array) -> jax.Array:
-        return jax.scipy.linalg.lu_solve((self.lu, self.piv), b)
+        return self.inv @ b
 
     @classmethod
     def from_dense(cls, mat) -> "CoarseSolver":
-        lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
-        return cls(lu=lu, piv=piv)
+        mat64 = np.asarray(mat, dtype=np.float64)
+        try:
+            inv = np.linalg.inv(mat64)
+        except np.linalg.LinAlgError:
+            inv = np.linalg.pinv(mat64)
+        return cls(inv=jnp.asarray(inv.astype(np.asarray(mat).dtype)))
 
 
 @jax.tree_util.register_dataclass

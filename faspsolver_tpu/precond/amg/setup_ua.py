@@ -35,9 +35,19 @@ _VECTORIZED_SETUP_THRESHOLD = 2000
 
 
 def setup_ua(A: CSRMatrix, param: Optional[AMGParam] = None,
-             dtype=None) -> AMGHierarchy:
+             dtype=None, structured: Optional[bool] = None) -> AMGHierarchy:
     param = param or AMGParam()
     dtype = dtype or default_dtype()
+
+    # TPU fast path: large banded matrices get the gather-free structured
+    # hierarchy (DIA operators + reshape pair transfers) — see structured.py
+    if structured is None:
+        structured = A.nrow > 100_000
+    if structured:
+        from .structured import setup_structured
+        hier = setup_structured(A, param, dtype=dtype)
+        if hier is not None:
+            return hier
 
     host_levels: List[CSRMatrix] = [A]
     aggs: List[Tuple[np.ndarray, int]] = []

@@ -58,6 +58,8 @@ class SmootherData:
     colors: Tuple[ColorBlock, ...] = ()
     cheby_coefs: Optional[jax.Array] = None   # Chebyshev recurrence params
     lambda_max: Optional[jax.Array] = None
+    rb_masks: Tuple[jax.Array, ...] = ()      # (red, black) parity masks for
+                                              # gather-free exact RB-GS
 
 
 def _ell_rows(A: CSRMatrix, rows: np.ndarray, dtype, drop_diag=True):
@@ -203,6 +205,15 @@ def smooth(sm, A, x, b, nsweeps: int, forward: bool):
                              range(len(sm.colors) - 1, -1, -1))
         elif kind == SmootherType.CHEBYSHEV:
             x = _cheby_smooth(sm, A, x, b, sm.nsweep_scale)
+        elif kind == SmootherType.RBGS:
+            # exact red-black Gauss-Seidel as two masked full-stencil
+            # updates — gather-free (structured path; reference:
+            # ItrSmootherRBGS.inl / PreGMG.inl gs2d_2color)
+            masks = sm.rb_masks if forward else sm.rb_masks[::-1]
+            w = sm.relax
+            for mask in masks:
+                upd = sm.dinv * (b - A(x))
+                x = x + (w * mask) * upd if w != 1.0 else x + mask * upd
         else:
             raise ValueError(f"unsupported smoother kind {kind}")
     return x

@@ -150,9 +150,15 @@ def ilutp_factor(A: CSRMatrix, droptol: float = 1e-3, permtol: float = 0.05
 
 def _level_schedule(T: sp.csr_matrix, lower: bool) -> List[np.ndarray]:
     """Topological levels of the triangular dependency DAG
-    (reference: topologic_sort_ILU, BlaILUSetupBSR.c)."""
+    (reference: topologic_sort_ILU, BlaILUSetupBSR.c).  Uses the native
+    C++ kernel when available; NumPy loop fallback."""
     n = T.shape[0]
     indptr, indices = T.indptr, T.indices
+    from .. import native
+    out = native.level_schedule(indptr, indices, n, lower)
+    if out is not None:
+        depth_nat, nlev = out
+        return [np.nonzero(depth_nat == lv)[0] for lv in range(nlev)]
     depth = np.zeros(n, dtype=np.int64)
     order = range(n) if lower else range(n - 1, -1, -1)
     for i in order:
@@ -244,13 +250,25 @@ def setup_ilu(A: CSRMatrix, param: ILUParam = None, dtype=None) -> ILUPrecond:
     param = param or ILUParam()
     dtype = dtype or default_dtype()
     t = int(param.ILU_type)
-    if t == ILUType.ILUK and A.nrow <= 20000:
-        L, U = iluk_factor(A, param.ILU_lfil)
+    from .. import native
+    if t == ILUType.ILUK:
+        out = native.iluk(A, param.ILU_lfil)
+        if out is not None:
+            L, U = out
+        elif A.nrow <= 20000:
+            L, U = iluk_factor(A, param.ILU_lfil)
+        else:   # no toolchain and too big for the python ILU(k): ILUt
+            L, U = ilut_factor(A, param.ILU_droptol)
     elif t == ILUType.ILUTP:
         L, U, _ = ilutp_factor(A, param.ILU_droptol, param.ILU_permtol)
     else:
-        L, U = ilut_factor(A, param.ILU_droptol,
-                           None if param.ILU_lfil == 0 else param.ILU_lfil)
+        out = native.ilut(A, param.ILU_lfil, param.ILU_droptol)
+        if out is not None:
+            L, U = out
+        else:
+            L, U = ilut_factor(A, param.ILU_droptol,
+                               None if param.ILU_lfil == 0
+                               else param.ILU_lfil)
     return ILUPrecond(
         Lsolve=TriangularSolver.from_sparse(L, lower=True, dtype=dtype),
         Usolve=TriangularSolver.from_sparse(U, lower=False, dtype=dtype))

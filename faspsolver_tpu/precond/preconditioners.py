@@ -41,6 +41,31 @@ class AMGPrecond:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class AMGNKPrecond:
+    """AMG preconditioner with extra near-kernel (null-space) correction
+    (reference: fasp_precond_amg_nk, PreCSR.c — coarse solve over the span
+    of the near-kernel basis after the multigrid cycle).
+
+    Given a basis ``NK`` (n, m) of near-kernel vectors and the projected
+    Gram matrix inverse ``gram_inv = (NKᵀ A NK)⁻¹`` precomputed at setup,
+    the apply is: z = MG(r); z += NK gram_inv NKᵀ (r − A z).
+    """
+
+    hier: AMGHierarchy
+    nk: jax.Array                 # (n, m) near-kernel basis
+    gram_inv: jax.Array           # (m, m) = (NKᵀ A NK)⁻¹
+    A_op: object                  # fine-level operator (pytree callable)
+    maxit: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        z = AMGPrecond(self.hier, maxit=self.maxit)(r)
+        resid = r - self.A_op(z)
+        coeffs = self.gram_inv @ (self.nk.T @ resid)
+        return z + self.nk @ coeffs
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class FMGPrecond:
     """Full-multigrid preconditioner (reference: fasp_precond_famg,
     PreCSR.c:449)."""

@@ -21,10 +21,11 @@ from ..formats import BSRMatrix, CSRMatrix
 from ..krylov import (SolveResult, bicgstab, gcg, gcr, gmres, minres, pcg,
                       vfgmres, vgmres, BlockJacobiPrecond, JacobiPrecond)
 from ..ops.operators import default_dtype, device_operator
-from ..precond import AMGPrecond, FMGPrecond
+from ..precond import (AMGNKPrecond, AMGPrecond, FMGPrecond, setup_ilu,
+                       setup_schwarz)
 from ..precond.amg import amg_solve, famg_solve, setup_rs, setup_sa, setup_ua
 from ..utils import messages
-from ..utils.params import AMGParam, ITSParam
+from ..utils.params import AMGParam, ILUParam, ITSParam, SWZParam
 from ..utils.errors import FaspError
 
 
@@ -38,7 +39,16 @@ _KRYLOV = {
     int(SolverType.GCG): gcg,
     int(SolverType.GCR): gcr,
 }
-_SAFE = {int(SolverType.SCG): pcg, int(SolverType.SBICGSTAB): bicgstab}
+_SAFE = {
+    int(SolverType.SCG): pcg,
+    int(SolverType.SBICGSTAB): bicgstab,
+    int(SolverType.SMINRES): minres,
+    int(SolverType.SGMRES): gmres,
+    int(SolverType.SVGMRES): vgmres,
+    int(SolverType.SVFGMRES): vfgmres,
+}
+_SAFE_RESTARTED = {int(SolverType.SGMRES), int(SolverType.SVGMRES),
+                   int(SolverType.SVFGMRES)}
 
 
 def _as_operator(A, dtype=None):
@@ -63,8 +73,37 @@ def itsolver(A, b, x0=None, M=None, its: Optional[ITSParam] = None
             kw["restart"] = its.restart
         return fn(op, b, x0=x0, M=M, **kw)
     if stype in _SAFE:
+        if stype in _SAFE_RESTARTED:
+            kw["restart"] = its.restart
         return _SAFE[stype](op, b, x0=x0, M=M, safe=True, **kw)
     raise FaspError(-40, f"unknown solver type {stype}")
+
+
+def itsolver_s(A, b, x0=None, M=None, its: Optional[ITSParam] = None
+               ) -> SolveResult:
+    """Safety-net Krylov dispatch: always runs the best-iterate-tracking
+    variant of the requested solver (reference: fasp_solver_dcsr_itsolver_s,
+    SolCSR.c:163)."""
+    its = its or ITSParam()
+    base_to_safe = {
+        int(SolverType.CG): int(SolverType.SCG),
+        int(SolverType.BICGSTAB): int(SolverType.SBICGSTAB),
+        int(SolverType.MINRES): int(SolverType.SMINRES),
+        int(SolverType.GMRES): int(SolverType.SGMRES),
+        int(SolverType.VGMRES): int(SolverType.SVGMRES),
+        int(SolverType.VFGMRES): int(SolverType.SVFGMRES),
+    }
+    stype = int(its.itsolver_type)
+    stype = base_to_safe.get(stype, stype)
+    import dataclasses as _dc
+    its_s = _dc.replace(its, itsolver_type=stype)
+    return itsolver(A, b, x0=x0, M=M, its=its_s)
+
+
+def krylov_s(A, b, x0=None, its: Optional[ITSParam] = None) -> SolveResult:
+    """Unpreconditioned safety-net Krylov (reference: _krylov_s,
+    SolCSR.c:295)."""
+    return itsolver_s(A, b, x0=x0, M=None, its=its)
 
 
 def krylov(A, b, x0=None, its: Optional[ITSParam] = None) -> SolveResult:
@@ -146,3 +185,85 @@ def solve_famg(A: CSRMatrix, b, x0=None, amg: Optional[AMGParam] = None
     amg = amg or AMGParam()
     hier = _amg_setup_by_type(A, amg)
     return famg_solve(hier, b, x0, tol=amg.tol, maxit=amg.maxit)
+
+
+def krylov_ilu(A, b, x0=None, its: Optional[ITSParam] = None,
+               ilu: Optional[ILUParam] = None) -> SolveResult:
+    """ILU-preconditioned Krylov (reference: fasp_solver_dcsr_krylov_ilu,
+    SolCSR.c:588; BSR twin SolBSR.c:286).  The factorization runs on host at
+    setup; the apply is level-scheduled batched triangular solves on device.
+    """
+    if isinstance(A, BSRMatrix):
+        host = A.to_csr()
+    elif isinstance(A, CSRMatrix):
+        host = A
+    else:
+        raise FaspError(-41, "krylov_ilu needs a host matrix")
+    M = setup_ilu(host, ilu or ILUParam())
+    return itsolver(A, b, x0=x0, M=M, its=its)
+
+
+def krylov_ilu_m(A: CSRMatrix, b, x0=None, its: Optional[ITSParam] = None,
+                 ilu: Optional[ILUParam] = None) -> SolveResult:
+    """ILU on the M-matrix massage of A: off-diagonal positives are dropped
+    into the diagonal before factorization, and the resulting ILU of the
+    M-matrix preconditions the original system (reference:
+    fasp_solver_dcsr_krylov_ilu_M, SolCSR.c:668)."""
+    if not isinstance(A, CSRMatrix):
+        raise FaspError(-41, "krylov_ilu_m needs a CSRMatrix")
+    m = A.to_scipy().tocoo()
+    off_pos = (m.row != m.col) & (m.data > 0)
+    # move positive off-diagonals onto the diagonal (row-sum preserving)
+    diag_add = np.bincount(m.row[off_pos], weights=m.data[off_pos],
+                           minlength=A.nrow)
+    keep = ~off_pos
+    import scipy.sparse as sp
+    M_mat = sp.coo_matrix((np.concatenate([m.data[keep], diag_add]),
+                           (np.concatenate([m.row[keep],
+                                            np.arange(A.nrow)]),
+                            np.concatenate([m.col[keep],
+                                            np.arange(A.nrow)]))),
+                          shape=m.shape).tocsr()
+    M_mat.sum_duplicates()
+    M = setup_ilu(CSRMatrix.from_scipy(M_mat), ilu or ILUParam())
+    return itsolver(A, b, x0=x0, M=M, its=its)
+
+
+def krylov_swz(A: CSRMatrix, b, x0=None, its: Optional[ITSParam] = None,
+               swz: Optional[SWZParam] = None) -> SolveResult:
+    """Schwarz-preconditioned Krylov (reference: fasp_solver_dcsr_krylov_swz,
+    SolCSR.c:401)."""
+    if not isinstance(A, CSRMatrix):
+        raise FaspError(-41, "krylov_swz needs a CSRMatrix")
+    M = setup_schwarz(A, swz or SWZParam())
+    return itsolver(A, b, x0=x0, M=M, its=its)
+
+
+def krylov_amg_nk(A: CSRMatrix, b, nk, x0=None,
+                  its: Optional[ITSParam] = None,
+                  amg: Optional[AMGParam] = None
+                  ) -> Tuple[SolveResult, object]:
+    """AMG-preconditioned Krylov with extra near-kernel correction
+    (reference: fasp_solver_dcsr_krylov_amg_nk, SolCSR.c:748; BSR twin
+    SolBSR.c:476).  ``nk`` is an (n, m) array of near-kernel vectors."""
+    its = its or ITSParam()
+    amg = amg or AMGParam()
+    if isinstance(A, BSRMatrix):
+        from ..precond.amg.setup_bsr import setup_ua_bsr
+        hier = setup_ua_bsr(A, amg)
+        host = A.to_csr()
+    else:
+        hier = _amg_setup_by_type(A, amg)
+        host = A
+    op = _as_operator(A)
+    nk = np.atleast_2d(np.asarray(nk, dtype=np.float64))
+    if nk.shape[0] != host.nrow:
+        nk = nk.T
+    gram = nk.T @ host.to_scipy().dot(nk)
+    gram_inv = np.linalg.pinv(gram)
+    M = AMGNKPrecond(hier,
+                     jnp.asarray(nk, dtype=op.dtype),
+                     jnp.asarray(gram_inv, dtype=op.dtype),
+                     op, maxit=amg.maxit)
+    res = itsolver(op, b, x0=x0, M=M, its=its)
+    return res, hier

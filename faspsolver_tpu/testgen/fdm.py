@@ -59,7 +59,12 @@ def poisson_2d_manufactured(nx: int, ny: int = None
     A = poisson_2d(nx, ny)
     xs = np.arange(1, nx + 1) / (nx + 1)
     ys = np.arange(1, ny + 1) / (ny + 1)
-    u = np.outer(np.sin(np.pi * ys), np.sin(np.pi * xs)).reshape(-1)
+    # NOT sin*sin: that is the lowest eigenmode of the discrete Laplacian,
+    # so b would be an eigenvector and every Krylov solver would converge in
+    # one iteration — a degenerate test.  Mix modes instead.
+    X, Y = np.meshgrid(xs, ys)
+    u = (np.sin(np.pi * X) * np.sin(np.pi * Y)
+         + 0.5 * X * (1 - X) * np.exp(Y)).reshape(-1)
     b = A.matvec(u)
     return A, b, u
 
@@ -69,6 +74,8 @@ def poisson_3d_manufactured(nx: int
     A = poisson_3d(nx)
     g = np.arange(1, nx + 1) / (nx + 1)
     s = np.sin(np.pi * g)
-    u = np.einsum("i,j,k->ijk", s, s, s).reshape(-1)
+    q = g * (1 - g)       # mix in a non-eigenmode (see 2D note)
+    u = (np.einsum("i,j,k->ijk", s, s, s)
+         + 0.5 * np.einsum("i,j,k->ijk", q, s, q)).reshape(-1)
     b = A.matvec(u)
     return A, b, u

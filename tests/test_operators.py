@@ -57,8 +57,10 @@ def test_dense_operator():
 def test_device_operator_dispatch(refdata):
     small = poisson_2d(4)            # 16 dof -> dense
     assert isinstance(device_operator(small), DenseOperator)
-    big = poisson_3d(12)             # regular rows -> ELL
-    assert isinstance(device_operator(big), EllOperator)
+    big = poisson_3d(12)             # banded stencil -> DIA (gather-free)
+    from faspsolver_tpu.ops import DiaOperator
+    assert isinstance(device_operator(big), DiaOperator)
+    assert isinstance(device_operator(big, prefer="ell"), EllOperator)
     mtx = read_mtx(f"{refdata}/nos7.mtx")
     op = device_operator(mtx)
     x = RNG.standard_normal(mtx.ncol)
