@@ -50,8 +50,8 @@ class BandMatrix:
     # -- construction ------------------------------------------------------
 
     @classmethod
-    def from_csr(cls, A, dims: Tuple[int, ...], max_c: int = 4
-                 ) -> Optional["BandMatrix"]:
+    def from_csr(cls, A, dims: Tuple[int, ...], max_c: int = 4,
+                 dtype=None) -> Optional["BandMatrix"]:
         """Decompose a CSR matrix into coordinate bands; None if any entry
         does not fit the structure (wrap entries, long-range couplings).
 
@@ -66,6 +66,8 @@ class BandMatrix:
             return None
         st = _strides(dims)
         offsets, flat = dia_bands_from_csr(A)
+        if dtype is not None:
+            flat = flat.astype(np.dtype(dtype))
         out = cls(dims=tuple(dims))
         for k, o in enumerate(offsets):
             rem = int(o)
@@ -137,11 +139,16 @@ class BandMatrix:
             out[idx, idx + o] = flat[k, idx]
         return out
 
+    def dtype(self):
+        for b in self.bands.values():
+            return b.dtype
+        return np.dtype(np.float64)
+
     def diagonal(self) -> np.ndarray:
         z = tuple(0 for _ in self.dims)
         if z in self.bands:
             return self.bands[z].reshape(-1).copy()
-        return np.zeros(self.n)
+        return np.zeros(self.n, dtype=self.dtype())
 
     def nnz(self) -> int:
         return sum(int(np.count_nonzero(b)) for b in self.bands.values())
@@ -180,9 +187,9 @@ class BandMatrix:
         out = {c: b.copy() for c, b in self.bands.items()}
         z = tuple(0 for _ in self.dims)
         if z in out:
-            out[z] = out[z] + alpha
+            out[z] = out[z] + np.asarray(alpha, dtype=out[z].dtype)
         else:
-            out[z] = np.full(self.dims, alpha)
+            out[z] = np.full(self.dims, alpha, dtype=self.dtype())
         return BandMatrix(self.dims, out)
 
     def scaled(self, alpha: float) -> "BandMatrix":
@@ -191,16 +198,32 @@ class BandMatrix:
 
     def matmul(self, other: "BandMatrix") -> "BandMatrix":
         """C = self @ other:
-        C[r, r+c1+c2] += self[r, r+c1] * other[r+c1, r+c1+c2]."""
+        C[r, r+c1+c2] += self[r, r+c1] * other[r+c1, r+c1+c2].
+
+        Fused slice form: the product is accumulated only on the index
+        range where the shift is in-bounds — no shifted temporary, one
+        pass per band pair.
+        """
         out: Dict[Coord, np.ndarray] = {}
+        nd = len(self.dims)
         for c1, b1 in self.bands.items():
+            dst = [None] * nd
+            src = [None] * nd
+            for ax, (s, d) in enumerate(zip(c1, self.dims)):
+                if s >= 0:
+                    dst[ax] = slice(0, d - s)
+                    src[ax] = slice(s, d)
+                else:
+                    dst[ax] = slice(-s, d)
+                    src[ax] = slice(0, d + s)
+            dst_t, src_t = tuple(dst), tuple(src)
             for c2, b2 in other.bands.items():
                 c = tuple(a + b for a, b in zip(c1, c2))
-                contrib = b1 * self._shifted(b2, c1)
-                if c in out:
-                    out[c] += contrib
-                else:
-                    out[c] = contrib
+                acc = out.get(c)
+                if acc is None:
+                    acc = np.zeros(self.dims, dtype=b1.dtype)
+                    out[c] = acc
+                acc[dst_t] += b1[dst_t] * b2[src_t]
         out = {c: b for c, b in out.items() if np.any(b)}
         return BandMatrix(self.dims, out)
 
@@ -240,7 +263,7 @@ class BandMatrix:
                 dst = [slice(None)] * len(self.dims)
                 dst[ax] = slice(0, nsrc)
                 if cc not in out:
-                    out[cc] = np.zeros(cdims)
+                    out[cc] = np.zeros(cdims, dtype=band.dtype)
                 out[cc][tuple(dst)] += band[tuple(src)]
         out = {c: v for c, v in out.items() if np.any(v)}
         return BandMatrix(cdims, out)

@@ -372,7 +372,9 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
         dims = detect_dims(offsets0, A.nrow)
     if dims is None:
         return None
-    B0 = BandMatrix.from_csr(A, tuple(dims))
+    # band pipeline runs in the target precision: conformance (f64) is
+    # exact; performance mode (f32) halves the setup's memory traffic
+    B0 = BandMatrix.from_csr(A, tuple(dims), dtype=np.dtype(dtype))
     if B0 is None:          # wrap entries / long-range couplings: the flat
         return None         # offsets lied about the structure — fall back
 
@@ -409,7 +411,7 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
             # Ac = P_tent^T (S^T A S) P_tent, all in band space
             omega = param.tentative_smooth
             d = cur.diagonal()
-            dinv = 1.0 / np.where(d != 0.0, d, 1.0)
+            dinv = (1.0 / np.where(d != 0.0, d, 1.0)).astype(cur.dtype())
             S = cur.scale_rows(dinv).scaled(-omega).add_identity()
             ST = cur.scale_cols(dinv).scaled(-omega).add_identity()
             inner = ST.matmul(cur.matmul(S))
