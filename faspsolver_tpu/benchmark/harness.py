@@ -1,0 +1,130 @@
+"""Machine-normalized solver benchmark harness.
+
+Reference: benchmark/main/benchmark.c — defines the library's own cost
+unit lMVU ("local stencil SpMV unit": unpreconditioned-CG time per row per
+iteration on a baseline 2D Poisson, ComputeLMVUFromBaseline,
+benchmark.c:338-430), then scores each problem as
+
+    Score = solve_time / n / lMVU            (benchmark.c:303)
+
+so results compare across machines.  The reference sweeps up to 235
+SuiteSparse problems (benchmark/input.dat); here the problem list is any
+collection of MatrixMarket files (e.g. the shipped data/*.mtx corpus) or
+generated systems.
+
+Run:  python -m faspsolver_tpu.benchmark [--data DIR] [--solver amg|ilu|cg]
+"""
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class BenchResult:
+    name: str
+    n: int
+    nnz: int
+    iters: int
+    solve_s: float
+    score: float          # solve_time / n / lMVU
+    converged: bool
+
+
+def _sync(x) -> float:
+    import jax.numpy as jnp
+    return float(jnp.sum(x))
+
+
+def compute_lmvu(n_base: int = 255, iters: int = 50) -> float:
+    """lMVU: CG time per row per iteration on an n_base^2 2D Poisson
+    (reference: ComputeLMVUFromBaseline, benchmark.c:338-430)."""
+    import jax.numpy as jnp
+    from ..krylov import pcg
+    from ..ops import device_operator
+    from ..testgen import poisson_2d
+
+    A = poisson_2d(n_base)
+    op = device_operator(A)
+    b = jnp.asarray(A.matvec(np.ones(A.nrow)), dtype=op.dtype)
+    res = pcg(op, b, tol=1e-300, maxit=iters)      # run exactly `iters`
+    _sync(res.x)                                   # warm (compile)
+    t0 = time.perf_counter()
+    res = pcg(op, b, tol=1e-300, maxit=iters)
+    _sync(res.x)
+    dt = time.perf_counter() - t0
+    return dt / A.nrow / max(int(res.iters), 1)
+
+
+def score_problem(name: str, A, b, solver: Callable, lmvu: float
+                  ) -> BenchResult:
+    import jax.numpy as jnp
+    res = solver(A, b)
+    _sync(res.x)                                   # warm (compile)
+    t0 = time.perf_counter()
+    res = solver(A, b)
+    _sync(res.x)
+    dt = time.perf_counter() - t0
+    return BenchResult(name=name, n=A.nrow, nnz=A.nnz,
+                       iters=int(res.iters), solve_s=dt,
+                       score=dt / A.nrow / lmvu,
+                       converged=bool(res.converged))
+
+
+def _solver_factory(kind: str):
+    from ..constants import SolverType
+    from ..solvers import krylov, krylov_amg, krylov_ilu
+    from ..utils.params import ITSParam
+
+    its = ITSParam(itsolver_type=int(SolverType.VGMRES), tol=1e-8,
+                   maxit=2000, restart=30)
+    if kind == "amg":
+        return lambda A, b: krylov_amg(A, b, its=its)[0]
+    if kind == "ilu":
+        return lambda A, b: krylov_ilu(A, b, its=its)
+    cg_its = ITSParam(tol=1e-8, maxit=5000)
+    return lambda A, b: krylov(A, b, its=cg_its)
+
+
+def run_benchmark(datadir: str, solver_kind: str = "ilu",
+                  min_size: int = 0, max_size: int = 200_000,
+                  problems: Optional[List[str]] = None) -> List[BenchResult]:
+    from ..io import read_mtx
+    from ..utils import messages
+
+    lmvu = compute_lmvu()
+    print(f"lMVU = {lmvu:.3e} s/row/iter")
+    solver = _solver_factory(solver_kind)
+    results = []
+    files = problems or sorted(glob.glob(os.path.join(datadir, "*.mtx")))
+    for path in files:
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            A = read_mtx(path)
+        except Exception as e:  # noqa: BLE001
+            messages.warn(f"{name}: unreadable ({e})")
+            continue
+        if not (min_size <= A.nrow <= max_size) or A.nrow != A.ncol:
+            continue
+        b = A.matvec(np.ones(A.nrow))
+        try:
+            r = score_problem(name, A, b, solver, lmvu)
+        except Exception as e:  # noqa: BLE001
+            messages.warn(f"{name}: solver failed ({e})")
+            continue
+        results.append(r)
+        print(f"{r.name:16s} n={r.n:8d} nnz={r.nnz:9d} iters={r.iters:5d} "
+              f"t={r.solve_s:8.3f}s score={r.score:10.1f} "
+              f"{'ok' if r.converged else 'FAILED'}")
+    if results:
+        ok = [r for r in results if r.converged]
+        print("-" * 72)
+        print(f"{len(ok)}/{len(results)} solved; "
+              f"mean score {np.mean([r.score for r in ok]):.1f}"
+              if ok else "no problems solved")
+    return results

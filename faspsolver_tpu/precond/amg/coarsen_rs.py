@@ -150,10 +150,77 @@ def cf_split_pmis(A: CSRMatrix, S: sp.csr_matrix,
     return marker
 
 
+def cf_split_cr(A: CSRMatrix, S: sp.csr_matrix, nu: int = 4,
+                target_rate: float = 0.7, max_passes: int = 6) -> np.ndarray:
+    """Compatible-relaxation C/F splitting (reference:
+    fasp_amg_coarsening_cr, PreAMGCoarsenCR.c; habituated F-point GS via
+    fasp_smoother_dcsr_gscr).
+
+    Run ``nu`` sweeps of F-point-restricted Gauss-Seidel on A e = 0 from a
+    random iterate; where the error decays slowly, relaxation cannot handle
+    the mode and the worst points are promoted to C.  Repeat until the CR
+    rate clears ``target_rate``.
+    """
+    n = A.nrow
+    m = A.to_scipy().tocsr()
+    indptr, indices, data = m.indptr, m.indices, m.data
+    d = A.diagonal()
+    d = np.where(d != 0.0, d, 1.0)
+    rng = np.random.default_rng(42)
+
+    marker = np.full(n, FGPT, dtype=np.int64)
+
+    def fgs_sweeps(e, sweeps):
+        """F-point GS on A e = 0 (the gscr smoother), C values pinned 0."""
+        for _ in range(sweeps):
+            for i in range(n):
+                if marker[i] != FGPT:
+                    continue
+                s, t = indptr[i], indptr[i + 1]
+                acc = 0.0
+                for p in range(s, t):
+                    j = indices[p]
+                    if j != i:
+                        acc += data[p] * e[j]
+                e[i] = -acc / d[i]
+        return e
+
+    for _ in range(max_passes):
+        e = rng.standard_normal(n)
+        e[marker != FGPT] = 0.0
+        e = fgs_sweeps(e, 1)
+        norm0 = np.linalg.norm(e[marker == FGPT]) or 1.0
+        e = fgs_sweeps(e, nu)
+        norm1 = np.linalg.norm(e[marker == FGPT])
+        rate = (norm1 / norm0) ** (1.0 / nu)
+        if rate <= target_rate or (marker == FGPT).sum() == 0:
+            break
+        # promote slowest-decaying F points (largest |e|) to C, keeping
+        # candidates independent in the strength graph
+        fmask = marker == FGPT
+        cand = np.nonzero(fmask)[0]
+        score = np.abs(e[cand])
+        thresh = np.quantile(score, 0.75) if len(score) else 0.0
+        chosen = cand[score >= thresh]
+        order = chosen[np.argsort(-np.abs(e[chosen]))]
+        taken = np.zeros(n, dtype=bool)
+        for i in order:
+            if taken[i]:
+                continue
+            marker[i] = CGPT
+            nbrs = S.indices[S.indptr[i]:S.indptr[i + 1]]
+            taken[nbrs] = True
+    if (marker == CGPT).sum() == 0:            # degenerate: fall back
+        return cf_split_rs(A, S)
+    return marker
+
+
 def coarsen(A: CSRMatrix, theta: float = 0.25, max_row_sum: float = 0.9,
             method: str = "rs") -> Tuple[np.ndarray, sp.csr_matrix]:
     """(cf_marker, strength matrix)."""
     S = strong_couplings(A, theta, max_row_sum)
     if method == "pmis":
         return cf_split_pmis(A, S), S
+    if method == "cr":
+        return cf_split_cr(A, S), S
     return cf_split_rs(A, S), S

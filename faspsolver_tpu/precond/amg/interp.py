@@ -23,9 +23,46 @@ def interpolate(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix,
         P = interp_standard(A, cf_marker, S)
     elif interp_type == InterpType.EXTENDED:
         P = interp_standard(A, cf_marker, S)   # EXT ~ STD+ext; STD basis
+    elif interp_type == InterpType.ENERGYMIN:
+        P = interp_energymin(A, cf_marker, S)
     else:
         P = interp_direct(A, cf_marker, S)
     return truncate(P, trunc_threshold)
+
+
+def interp_energymin(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix,
+                     iters: int = 4, omega: float = 0.6) -> CSRMatrix:
+    """Energy-minimizing interpolation (reference: fasp_amg_interp_em,
+    PreAMGInterpEM.c — local least-squares energy minimization).
+
+    TPU-era formulation: start from direct interpolation and run damped
+    constrained-Jacobi energy-minimization sweeps
+
+        P <- P - omega D^{-1} A P,   restricted to the sparsity pattern
+                                     of P0 and rescaled to row-sum 1
+
+    — the standard sparsity-constrained energy-minimization iteration
+    (same objective as the reference's local solves: minimize the energy
+    of the coarse basis functions under partition-of-unity).
+    """
+    P0 = interp_direct(A, cf_marker, S)
+    m = A.to_scipy()
+    d = A.diagonal()
+    dinv = 1.0 / np.where(d != 0.0, d, 1.0)
+    P = P0.to_scipy().tocsr()
+    pattern = P.copy()
+    pattern.data = np.ones_like(pattern.data)
+    for _ in range(iters):
+        upd = sp.diags(omega * dinv) @ (m @ P)
+        # restrict the update to the original pattern
+        upd = upd.multiply(pattern)
+        P = (P - upd).tocsr()
+        # re-impose partition of unity (row sums 1 where P0 had mass)
+        rs = np.asarray(P.sum(axis=1)).ravel()
+        scale = np.where(np.abs(rs) > 1e-12, 1.0 / np.where(rs != 0, rs, 1.0),
+                         1.0)
+        P = (sp.diags(scale) @ P).tocsr()
+    return CSRMatrix.from_scipy(P)
 
 
 def _coarse_index(cf_marker: np.ndarray) -> np.ndarray:

@@ -110,3 +110,105 @@ def setup_ua_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
         coarse_scaling=bool(param.coarse_scaling),
         amli_degree=param.amli_degree,
         amli_coefs=amli_c)
+
+
+def setup_sa_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
+                 dtype=None) -> AMGHierarchy:
+    """BSR smoothed-aggregation setup (reference: fasp_amg_setup_sa_bsr,
+    PreAMGSetupSABSR.c:61): condense blocks to the scalar strength graph,
+    aggregate there, expand the tentative P to blocks and smooth it with
+    one damped block-Jacobi sweep; Galerkin RAP on the smoothed block P.
+
+    The smoothed block P is a general BSR matrix: transfers become
+    BsrEllOperator pairs (P, P^T) instead of boolean block gathers; the
+    RAP runs host-side through scipy's BSR product at setup.
+    """
+    import scipy.sparse as sp
+
+    param = param or AMGParam()
+    dtype = dtype or default_dtype()
+    nb = A.nb
+
+    host_levels: List[BSRMatrix] = [A]
+    Ps: List[BSRMatrix] = []
+
+    cur = A
+    theta = param.strong_coupled
+    max_levels = min(param.max_levels, 20)
+    while (len(host_levels) < max_levels
+           and cur.nrow_block > max(param.coarse_dof // max(nb, 1), 8)):
+        cond = cur.condense(norm_type=-1)
+        if param.aggregation_type == AggregationType.VMB:
+            agg, nagg = aggregate_vmb(cond, theta, param.max_aggregation)
+        else:
+            agg, nagg = aggregate_pairwise(cond, param.pair_number,
+                                           param.quality_bound)
+        if nagg >= cur.nrow_block:
+            break
+        # block tentative P (identity blocks) smoothed by damped Jacobi:
+        # P = (I - w D^{-1} A) P_tent, computed in scipy BSR space
+        m = cur.to_scipy().tobsr(blocksize=(nb, nb))
+        nrb = cur.nrow_block
+        eye = np.broadcast_to(np.eye(nb), (nrb, nb, nb))
+        Pt = sp.bsr_matrix((np.ascontiguousarray(eye),
+                            agg.astype(np.int64),
+                            np.arange(nrb + 1, dtype=np.int64)),
+                           shape=(nrb * nb, nagg * nb), blocksize=(nb, nb))
+        dinv = cur.diag_inv()                     # (nrb, nb, nb)
+        Dinv = sp.bsr_matrix((np.ascontiguousarray(dinv),
+                              np.arange(nrb, dtype=np.int64),
+                              np.arange(nrb + 1, dtype=np.int64)),
+                             shape=(nrb * nb, nrb * nb),
+                             blocksize=(nb, nb))
+        omega = param.tentative_smooth
+        P = (Pt - omega * (Dinv @ (m @ Pt))).tobsr(blocksize=(nb, nb))
+        Ac_sp = (P.T @ m @ P).tobsr(blocksize=(nb, nb))
+        Ac = BSRMatrix(Ac_sp.indptr.astype(np.int64),
+                       Ac_sp.indices.astype(np.int64),
+                       np.ascontiguousarray(Ac_sp.data),
+                       (nagg, nagg))
+        Ps.append(BSRMatrix(P.indptr.astype(np.int64),
+                            P.indices.astype(np.int64),
+                            np.ascontiguousarray(P.data),
+                            (nrb, nagg)))
+        host_levels.append(Ac)
+        cur = Ac
+        theta = theta * 0.5
+
+    levels = []
+    nlvl = len(host_levels)
+    for l, Al in enumerate(host_levels):
+        if l == nlvl - 1:
+            levels.append(AMGLevel(
+                A=BsrEllOperator.from_bsr(Al, dtype=dtype),
+                P=None, R=None, smoother=None))
+            break
+        P = Ps[l]
+        PT_sp = P.to_scipy().T.tobsr(blocksize=(nb, nb))
+        PT = BSRMatrix(PT_sp.indptr.astype(np.int64),
+                       PT_sp.indices.astype(np.int64),
+                       np.ascontiguousarray(PT_sp.data),
+                       (P.shape[1], P.shape[0]))
+        sm = build_bsr_smoother(Al, param.smoother, relax=param.relaxation,
+                                dtype=dtype)
+        levels.append(AMGLevel(
+            A=BsrEllOperator.from_bsr(Al, dtype=dtype),
+            P=BsrEllOperator.from_bsr(P, dtype=dtype),
+            R=BsrEllOperator.from_bsr(PT, dtype=dtype),
+            smoother=sm))
+
+    coarse = make_coarse_solver(host_levels[-1], dtype)
+
+    amli_c = ()
+    if param.amli_degree > 0:
+        from .cycles import amli_coefs
+        amli_c = amli_coefs(2.0, 0.5, param.amli_degree)
+
+    return AMGHierarchy(
+        levels=tuple(levels), coarse=coarse,
+        presmooth_iter=param.presmooth_iter,
+        postsmooth_iter=param.postsmooth_iter,
+        cycle_type=param.cycle_type,
+        coarse_scaling=bool(param.coarse_scaling),
+        amli_degree=param.amli_degree,
+        amli_coefs=amli_c)

@@ -34,7 +34,7 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
 
     cur = A
     max_levels = min(param.max_levels, 20)
-    method = "pmis" if param.coarsening_type == 5 else "rs"
+    method = {5: "pmis", 3: "cr"}.get(int(param.coarsening_type), "rs")
     while (len(host_levels) < max_levels
            and cur.nrow > max(param.coarse_dof, 1)):
         marker, S = coarsen(cur, theta=param.strong_threshold,
@@ -90,3 +90,14 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         coarse_scaling=bool(param.coarse_scaling),
         amli_degree=param.amli_degree,
         amli_coefs=amli_c)
+
+
+def setup_cr(A: CSRMatrix, param: Optional[AMGParam] = None,
+             dtype=None) -> AMGHierarchy:
+    """Compatible-relaxation AMG setup (reference: fasp_amg_setup_cr,
+    PreAMGSetupCR.c — Brannick-Falgout CR coarsening + classical
+    interpolation)."""
+    import dataclasses as _dc
+    param = param or AMGParam()
+    param = _dc.replace(param, coarsening_type=3)
+    return setup_rs(A, param, dtype=dtype)

@@ -1,9 +1,11 @@
 from .drivers import (itsolver, itsolver_s, krylov, krylov_amg, krylov_amg_nk,
-                      krylov_diag, krylov_ilu, krylov_ilu_m, krylov_s,
-                      krylov_swz, solve_amg, solve_famg)
+                      krylov_block, krylov_blockgs, krylov_diag, krylov_ilu,
+                      krylov_ilu_m, krylov_s, krylov_sweeping, krylov_swz,
+                      solve_amg, solve_famg)
 from .refine import RefinedResult, solve_refined, solve_refined_device
 
 __all__ = ["itsolver", "itsolver_s", "krylov", "krylov_amg", "krylov_amg_nk",
-           "krylov_diag", "krylov_ilu", "krylov_ilu_m", "krylov_s",
-           "krylov_swz", "solve_amg", "solve_famg",
+           "krylov_block", "krylov_blockgs", "krylov_diag", "krylov_ilu",
+           "krylov_ilu_m", "krylov_s", "krylov_sweeping", "krylov_swz",
+           "solve_amg", "solve_famg",
            "RefinedResult", "solve_refined", "solve_refined_device"]

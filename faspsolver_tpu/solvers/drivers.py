@@ -54,6 +54,14 @@ _SAFE_RESTARTED = {int(SolverType.SGMRES), int(SolverType.SVGMRES),
 def _as_operator(A, dtype=None):
     if isinstance(A, (CSRMatrix, BSRMatrix)):
         return device_operator(A, dtype=dtype)
+    from ..formats.str_grid import STRMatrix
+    from ..formats.blc import BLCMatrix
+    if isinstance(A, STRMatrix):
+        from ..ops.str_ops import StrOperator
+        return StrOperator.from_str(A, dtype=dtype)
+    if isinstance(A, BLCMatrix):
+        from ..precond.blc_precond import BlcOperator
+        return BlcOperator.from_blc(A, dtype=dtype)
     return A
 
 
@@ -114,11 +122,16 @@ def krylov(A, b, x0=None, its: Optional[ITSParam] = None) -> SolveResult:
 
 def krylov_diag(A, b, x0=None, its: Optional[ITSParam] = None) -> SolveResult:
     """Diagonally preconditioned Krylov (reference: _krylov_diag,
-    SolCSR.c:341; BSR twin SolBSR.c:186 uses block-diagonal inverses)."""
+    SolCSR.c:341; BSR twin SolBSR.c:186 and STR twin SolSTR.c:175 use
+    block-diagonal inverses)."""
+    from ..formats.str_grid import STRMatrix
     if isinstance(A, BSRMatrix):
         M = BlockJacobiPrecond.from_bsr(A)
     elif isinstance(A, CSRMatrix):
         M = JacobiPrecond.from_csr(A)
+    elif isinstance(A, STRMatrix):
+        from ..precond.str_precond import setup_str_diag
+        M = setup_str_diag(A)
     else:
         raise FaspError(-41, "krylov_diag needs a host matrix")
     return itsolver(A, b, x0=x0, M=M, its=its)
@@ -190,10 +203,12 @@ def solve_famg(A: CSRMatrix, b, x0=None, amg: Optional[AMGParam] = None
 def krylov_ilu(A, b, x0=None, its: Optional[ITSParam] = None,
                ilu: Optional[ILUParam] = None) -> SolveResult:
     """ILU-preconditioned Krylov (reference: fasp_solver_dcsr_krylov_ilu,
-    SolCSR.c:588; BSR twin SolBSR.c:286).  The factorization runs on host at
-    setup; the apply is level-scheduled batched triangular solves on device.
+    SolCSR.c:588; BSR twin SolBSR.c:286; STR twin SolSTR.c:236).  The
+    factorization runs on host at setup; the apply is level-scheduled
+    batched triangular solves on device.
     """
-    if isinstance(A, BSRMatrix):
+    from ..formats.str_grid import STRMatrix
+    if isinstance(A, (BSRMatrix, STRMatrix)):
         host = A.to_csr()
     elif isinstance(A, CSRMatrix):
         host = A
@@ -236,6 +251,46 @@ def krylov_swz(A: CSRMatrix, b, x0=None, its: Optional[ITSParam] = None,
     if not isinstance(A, CSRMatrix):
         raise FaspError(-41, "krylov_swz needs a CSRMatrix")
     M = setup_schwarz(A, swz or SWZParam())
+    return itsolver(A, b, x0=x0, M=M, its=its)
+
+
+def krylov_blockgs(A, b, x0=None, its: Optional[ITSParam] = None,
+                   nsweeps: int = 2) -> SolveResult:
+    """Block-GS-preconditioned Krylov for structured-grid matrices
+    (reference: fasp_solver_dstr_krylov_blockgs, SolSTR.c:323)."""
+    from ..formats.str_grid import STRMatrix
+    if not isinstance(A, STRMatrix):
+        raise FaspError(-41, "krylov_blockgs needs an STRMatrix")
+    from ..precond.str_precond import setup_str_blockgs
+    M = setup_str_blockgs(A, nsweeps=nsweeps)
+    return itsolver(A, b, x0=x0, M=M, its=its)
+
+
+def krylov_block(A, b, x0=None, its: Optional[ITSParam] = None,
+                 mode: str = "diag", diag_solver: str = "amg",
+                 amg: Optional[AMGParam] = None) -> SolveResult:
+    """Block-preconditioned Krylov for block-composite systems
+    (reference: fasp_solver_dblc_krylov_block3/_block4, SolBLC.c:188,:390 —
+    block diag/lower/upper/SGS with AMG on the diagonal blocks; here one
+    driver serves any block count)."""
+    from ..formats.blc import BLCMatrix
+    if not isinstance(A, BLCMatrix):
+        raise FaspError(-41, "krylov_block needs a BLCMatrix")
+    from ..precond.blc_precond import setup_blc_precond
+    M = setup_blc_precond(A, mode=mode, diag_solver=diag_solver, amg=amg)
+    return itsolver(A, b, x0=x0, M=M, its=its)
+
+
+def krylov_sweeping(A, b, x0=None, its: Optional[ITSParam] = None,
+                    diag_solver: str = "amg",
+                    amg: Optional[AMGParam] = None) -> SolveResult:
+    """Layered sweeping-preconditioned Krylov for block-tridiagonal systems
+    (reference: fasp_solver_dblc_krylov_sweeping, SolBLC.c:507)."""
+    from ..formats.blc import BLCMatrix
+    if not isinstance(A, BLCMatrix):
+        raise FaspError(-41, "krylov_sweeping needs a BLCMatrix")
+    from ..precond.blc_precond import setup_blc_sweeping
+    M = setup_blc_sweeping(A, diag_solver=diag_solver, amg=amg)
     return itsolver(A, b, x0=x0, M=M, its=its)
 
 

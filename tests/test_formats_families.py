@@ -1,0 +1,162 @@
+"""STR/BLC format families, FEM mini-library, CR/energy-min AMG, SA-BSR,
+benchmark harness pieces, and the CLI driver."""
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from faspsolver_tpu import solvers
+from faspsolver_tpu.constants import InterpType, SolverType
+from faspsolver_tpu.formats import CSRMatrix
+from faspsolver_tpu.formats.blc import BLCMatrix
+from faspsolver_tpu.formats.str_grid import STRMatrix
+from faspsolver_tpu.testgen import (l2_error, poisson_2d,
+                                    poisson_fe_manufactured, refine_uniform,
+                                    unit_square_mesh)
+from faspsolver_tpu.utils.params import AMGParam, ITSParam
+
+RNG = np.random.default_rng(7)
+
+
+def _make_str(nx=10, ny=8, nc=2) -> STRMatrix:
+    ng = nx * ny
+    diag = np.tile(np.array([[4.2, 0.3], [0.3, 4.2]]), (ng, 1, 1))
+    off = np.tile(np.array([[-1.0, 0.05], [0.05, -1.0]]), (ng, 1, 1))
+    mask_p = np.ones(ng)
+    mask_p[np.arange(ng) % nx == nx - 1] = 0
+    mask_m = np.ones(ng)
+    mask_m[np.arange(ng) % nx == 0] = 0
+    return STRMatrix(nx=nx, ny=ny, nz=1, nc=nc, diag=diag,
+                     offsets=(1, -1, nx, -nx),
+                     offdiag=[off * mask_p[:, None, None],
+                              off * mask_m[:, None, None],
+                              off.copy(), off.copy()])
+
+
+def test_str_operator_matches_expansion():
+    A = _make_str()
+    x = RNG.standard_normal(A.nrow)
+    np.testing.assert_allclose(A.matvec(x), A.to_csr().matvec(x),
+                               rtol=1e-13)
+    from faspsolver_tpu.ops.str_ops import StrOperator
+    op = StrOperator.from_str(A)
+    np.testing.assert_allclose(np.asarray(op(jnp.asarray(x))), A.matvec(x),
+                               rtol=1e-12)
+
+
+def test_str_drivers():
+    A = _make_str()
+    xex = RNG.standard_normal(A.nrow)
+    b = A.matvec(xex)
+    for drv, kw in ((solvers.krylov_diag, {}),
+                    (solvers.krylov_blockgs, {}),
+                    (solvers.krylov_ilu, {})):
+        r = drv(A, b, its=ITSParam(tol=1e-11, maxit=500), **kw)
+        assert bool(r.converged)
+        assert np.abs(np.asarray(r.x) - xex).max() < 1e-8
+
+
+def _make_blc():
+    A11 = poisson_2d(10)
+    A22 = poisson_2d(7)
+    B12 = CSRMatrix.from_scipy(
+        sp.random(A11.nrow, A22.nrow, 0.02, random_state=1,
+                  format="csr") * 0.1)
+    return BLCMatrix(blocks=[[A11, B12], [B12.transpose(), A22]])
+
+
+@pytest.mark.parametrize("mode", ["diag", "lower", "upper", "sgs"])
+def test_blc_block_preconditioners(mode):
+    A = _make_blc()
+    xex = RNG.standard_normal(A.nrow)
+    b = A.matvec(xex)
+    r = solvers.krylov_block(A, b, its=ITSParam(tol=1e-11, maxit=400),
+                             mode=mode, amg=AMGParam(coarse_dof=40))
+    assert bool(r.converged)
+    assert np.abs(np.asarray(r.x) - xex).max() < 1e-8
+
+
+def test_blc_sweeping():
+    A = _make_blc()
+    xex = RNG.standard_normal(A.nrow)
+    b = A.matvec(xex)
+    r = solvers.krylov_sweeping(A, b, its=ITSParam(tol=1e-11, maxit=400),
+                                amg=AMGParam(coarse_dof=40))
+    assert bool(r.converged)
+
+
+def test_fem_convergence_order():
+    import scipy.sparse.linalg as spl
+    errs = []
+    for n in (8, 16, 32):
+        A, b, mesh, interior, uex = poisson_fe_manufactured(n)
+        u = spl.spsolve(A.to_scipy().tocsc(), b)
+        errs.append(l2_error(mesh, u, interior, uex))
+    # O(h^2): each refinement divides the L2 error by ~4
+    assert errs[0] / errs[1] > 3.4
+    assert errs[1] / errs[2] > 3.4
+
+
+def test_fem_refine():
+    m0 = unit_square_mesh(4)
+    m1 = refine_uniform(m0)
+    assert m1.num_elems == 4 * m0.num_elems
+    # areas still tile the unit square
+    from faspsolver_tpu.testgen.fem import _p1_geometry
+    area, _ = _p1_geometry(m1)
+    assert abs(area.sum() - 1.0) < 1e-12
+
+
+def test_cr_and_energymin_setups():
+    from faspsolver_tpu.precond.amg import setup_cr, setup_rs
+    from faspsolver_tpu.precond import AMGPrecond
+    from faspsolver_tpu.krylov import pcg
+    from faspsolver_tpu.ops import device_operator
+    from faspsolver_tpu.testgen import poisson_2d_manufactured
+    A, b, xex = poisson_2d_manufactured(20)
+    h = setup_cr(A, AMGParam(coarse_dof=50))
+    r = pcg(device_operator(A), jnp.asarray(b), M=AMGPrecond(h),
+            tol=1e-10, maxit=200)
+    assert bool(r.converged)
+    h2 = setup_rs(A, AMGParam(coarse_dof=50,
+                              interpolation_type=int(InterpType.ENERGYMIN)))
+    r2 = pcg(device_operator(A), jnp.asarray(b), M=AMGPrecond(h2),
+             tol=1e-10, maxit=200)
+    assert bool(r2.converged)
+    assert np.abs(np.asarray(r2.x) - xex).max() < 1e-8
+
+
+def test_sa_bsr_on_spe01(refdata):
+    from faspsolver_tpu.io import read_bsr, read_vec
+    from faspsolver_tpu.precond.amg import setup_sa_bsr
+    from faspsolver_tpu.precond import AMGPrecond
+    from faspsolver_tpu.krylov import vfgmres
+    from faspsolver_tpu.ops import BsrEllOperator
+    A = read_bsr(f"{refdata}/bsrmat_SPE01.dat")
+    b = read_vec(f"{refdata}/rhs_SPE01.dat")
+    h = setup_sa_bsr(A, AMGParam(coarse_dof=60))
+    op = BsrEllOperator.from_bsr(A)
+    r = vfgmres(op, jnp.asarray(b), M=AMGPrecond(h), tol=1e-9, maxit=500,
+                restart=30)
+    resid = np.linalg.norm(A.matvec(np.asarray(r.x)) - b) / np.linalg.norm(b)
+    assert resid < 1e-6
+
+
+def test_cli_driver(refdata):
+    out = subprocess.run(
+        [sys.executable, "-m", "faspsolver_tpu",
+         "-mat", f"{refdata}/csrmat_FD.dat", "-rhs", f"{refdata}/rhs_FD.dat",
+         "-solver", "1", "-precond", "2", "-tol", "1e-10"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Number of iterations" in out.stdout
+
+
+def test_benchmark_lmvu():
+    from faspsolver_tpu.benchmark import compute_lmvu
+    lmvu = compute_lmvu(n_base=63, iters=10)
+    assert 0 < lmvu < 1e-3
