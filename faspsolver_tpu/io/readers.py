@@ -218,3 +218,69 @@ def matrix_read(path: str):
     if "bsr" in path:
         return read_bsr(path)
     return read_csr(path)
+
+
+def read_coovec_bin(matpath: str, rhspath: str = None, endian: str = "little"
+                    ) -> Tuple[CSRMatrix, np.ndarray]:
+    """Binary COO matrix (+ optional rhs) with endianness handling
+    (reference: fasp_dcoovec_bin_read, BlaIO.c:437 + fasp_aux_change_endian,
+    AuxConvert.c).  Layout: int32 n, nnz; then nnz * (int32 i, int32 j,
+    float64 v); rhs file: int32 n then n float64."""
+    sw = "<" if endian == "little" else ">"
+    with open(matpath, "rb") as f:
+        hdr = np.fromfile(f, dtype=sw + "i4", count=2)
+        if len(hdr) != 2:
+            raise FaspError(ERROR_WRONG_FILE, f"truncated binary {matpath}")
+        n, nnz = int(hdr[0]), int(hdr[1])
+        rec = np.dtype([("i", sw + "i4"), ("j", sw + "i4"),
+                        ("v", sw + "f8")])
+        trip = np.fromfile(f, dtype=rec, count=nnz)
+    if len(trip) != nnz:
+        raise FaspError(ERROR_WRONG_FILE, f"truncated binary {matpath}")
+    A = CSRMatrix.from_coo(trip["i"].astype(np.int64),
+                           trip["j"].astype(np.int64),
+                           trip["v"].astype(np.float64), (n, n))
+    b = None
+    if rhspath is not None:
+        with open(rhspath, "rb") as f:
+            nb = int(np.fromfile(f, dtype=sw + "i4", count=1)[0])
+            b = np.fromfile(f, dtype=sw + "f8", count=nb).astype(np.float64)
+    return A, b
+
+
+def read_hb(path: str) -> Tuple[CSRMatrix, np.ndarray]:
+    """Harwell-Boeing reader (reference: fasp_hb_read, BlaIO.c:2206, backed
+    by base/extra/hb_io).  Returns (A, rhs-or-None); symmetric patterns are
+    expanded."""
+    import scipy.io as _sio
+    try:
+        m = _sio.hb_read(path)
+    except Exception as e:
+        raise FaspError(ERROR_WRONG_FILE, f"bad HB file {path}: {e}")
+    m = m.tocsr()
+    # scipy stores only one triangle for symmetric HB types; expand
+    import scipy.sparse as sp
+    lower = sp.tril(m, k=-1)
+    if lower.nnz == 0 and sp.triu(m, k=1).nnz > 0:
+        m = m + sp.triu(m, k=1).T
+    elif sp.triu(m, k=1).nnz == 0 and lower.nnz > 0:
+        m = m + lower.T
+    return CSRMatrix.from_scipy(m.tocsr()), None
+
+
+def read_mesh(path: str):
+    """Reference FEM mesh file (test/src/FemMesh.c): ``nn dim`` + nodes,
+    then ``ne dim`` + 1-based element connectivity.  Returns a
+    testgen.fem.TriMesh with boundary = nodes on the bounding box."""
+    from ..testgen.fem import TriMesh
+    t = _Tokens(path)
+    nn, dim = t.int1(), t.int1()
+    nodes = t.floats(nn * dim).reshape(nn, dim)
+    ne, dk = t.int1(), t.int1()
+    elems = t.floats(ne * dk).reshape(ne, dk).astype(np.int64) - 1
+    lo = nodes.min(axis=0)
+    hi = nodes.max(axis=0)
+    onb = np.zeros(nn, dtype=bool)
+    for d in range(dim):
+        onb |= (nodes[:, d] == lo[d]) | (nodes[:, d] == hi[d])
+    return TriMesh(nodes=nodes, elems=elems, boundary=onb)

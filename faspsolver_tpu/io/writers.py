@@ -62,3 +62,48 @@ def write_vecind(path: str, b: np.ndarray) -> None:
         fh.write(f"{len(b)}\n")
         for i, v in enumerate(b):
             fh.write(f"{i} {v:.16e}\n")
+
+
+def write_mtx(path: str, A: CSRMatrix) -> None:
+    """MatrixMarket coordinate writer (reference: BlaIO.c writers)."""
+    m = A.to_scipy().tocoo()
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{A.nrow} {A.ncol} {A.nnz}\n")
+        for i, j, v in zip(m.row, m.col, m.data):
+            f.write(f"{i + 1} {j + 1} {v:.16e}\n")
+
+
+def write_str(path: str, A) -> None:
+    """STR banded writer (reference: fasp_dstr_write, BlaIO.c).  Bands are
+    stored compactly: only the (ngrid - |offset|) valid block rows."""
+    with open(path, "w") as f:
+        f.write(f"{A.nx} {A.ny} {A.nz}\n{A.nc}\n{A.nband}\n")
+        ng, nc = A.ngrid, A.nc
+        f.write(f"{ng * nc * nc}\n")
+        for v in A.diag.reshape(-1):
+            f.write(f"{v:.16e}\n")
+        for off, band in zip(A.offsets, A.offdiag):
+            valid = band[:ng - off] if off > 0 else band[-off:]
+            f.write(f"{off} {valid.size}\n")
+            for v in valid.reshape(-1):
+                f.write(f"{v:.16e}\n")
+
+
+def write_coovec_bin(matpath: str, A: CSRMatrix, rhspath: str = None,
+                     b=None, endian: str = "little") -> None:
+    """Binary COO (+rhs) writer, endian-parameterized (reference:
+    BlaIO.c binary writers + AuxConvert.c)."""
+    import numpy as np
+    sw = "<" if endian == "little" else ">"
+    m = A.to_scipy().tocoo()
+    with open(matpath, "wb") as f:
+        np.asarray([A.nrow, A.nnz], dtype=sw + "i4").tofile(f)
+        rec = np.empty(A.nnz, dtype=np.dtype(
+            [("i", sw + "i4"), ("j", sw + "i4"), ("v", sw + "f8")]))
+        rec["i"], rec["j"], rec["v"] = m.row, m.col, m.data
+        rec.tofile(f)
+    if rhspath is not None and b is not None:
+        with open(rhspath, "wb") as f:
+            np.asarray([len(b)], dtype=sw + "i4").tofile(f)
+            np.asarray(b, dtype=sw + "f8").tofile(f)

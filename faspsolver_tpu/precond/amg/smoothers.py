@@ -219,6 +219,33 @@ def smooth(sm, A, x, b, nsweeps: int, forward: bool):
     return x
 
 
+def kaczmarz_sweep(sm: SmootherData, A, x, b, omega: float = 0.5):
+    """Color-batched Kaczmarz row-projection sweep (reference:
+    fasp_smoother_dcsr_kaczmarz, ItrSmootherCSR.c:1363).
+
+    The reference projects rows sequentially; within a color the rows are
+    pairwise non-adjacent, so their projections are applied simultaneously
+    (Cimmino-within-color) via scatter-add — the parallel form of the same
+    method.  Simultaneous projections of rows sharing a column overlap, so
+    the default damping is 0.5 (sequential Kaczmarz uses 1.0).  Requires
+    GS-style color blocks in ``sm``.
+    """
+    import jax.numpy as jnp
+    for blk in sm.colors:
+        # row residual r_i = b_i - a_i . x  (diagonal is excluded from the
+        # stored block, add it back via dinv^-1 = a_ii)
+        offdiag = jnp.sum(blk.vals * x[blk.cols], axis=1)
+        aii = 1.0 / blk.dinv
+        ri = b[blk.rows] - offdiag - aii * x[blk.rows]
+        row_norm2 = jnp.sum(blk.vals * blk.vals, axis=1) + aii * aii
+        scale = omega * ri / row_norm2
+        # x += scale_i * a_i (scatter the row back)
+        x = x.at[blk.rows].add(scale * aii)
+        x = x.at[blk.cols.reshape(-1)].add(
+            (scale[:, None] * blk.vals).reshape(-1), mode="drop")
+    return x
+
+
 def _cheby_smooth(sm: SmootherData, A, x, b, degree: int):
     """Chebyshev polynomial smoother on the Jacobi-scaled operator,
     damping [lambda_max/4, lambda_max] (reference: ItrSmootherCSRpoly.c
