@@ -60,3 +60,36 @@ def test_sharded_dot_uses_all_devices(mesh):
     x = shard_vector(jnp.arange(1024, dtype=jnp.float64), mesh)
     got = float(jax.jit(lambda v: jnp.dot(v, v))(x))
     assert got == float(np.dot(np.arange(1024.0), np.arange(1024.0)))
+
+
+def test_sharded_dia_spmv_matches(mesh):
+    from faspsolver_tpu.parallel import dist_dia_operator
+    A = poisson_2d(24)                      # 576 dof, 576 % 8 == 0
+    op = dist_dia_operator(A, mesh)
+    x = RNG.standard_normal(A.nrow)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    y = np.asarray(jax.jit(lambda o, v: o(v))(op, xs))[:A.nrow]
+    np.testing.assert_allclose(y, A.matvec(x), rtol=1e-12)
+
+
+def test_sharded_structured_amg_matches(mesh):
+    """Sharded DIA + sharded hierarchy must reproduce the single-device
+    structured AMG-PCG solve."""
+    from faspsolver_tpu.parallel import dist_dia_operator, shard_hierarchy
+    from faspsolver_tpu.precond import AMGPrecond
+    from faspsolver_tpu.precond.amg import setup_structured
+    from faspsolver_tpu.utils.params import AMGParam
+
+    A = poisson_2d(32)                      # 1024 dof
+    b = A.matvec(np.ones(A.nrow))
+    hier = setup_structured(A, AMGParam(coarse_dof=60), smooth_p=True)
+    assert hier is not None
+    r1 = pcg(device_operator(A, prefer="dia"), jnp.asarray(b),
+             M=AMGPrecond(hier), tol=1e-10, maxit=100)
+    opd = dist_dia_operator(A, mesh)
+    hs = shard_hierarchy(hier, mesh, min_size=256)
+    bd = shard_vector(jnp.asarray(b), mesh)
+    r2 = pcg(opd, bd, M=AMGPrecond(hs), tol=1e-10, maxit=100)
+    assert int(r1.iters) == int(r2.iters)
+    np.testing.assert_allclose(np.asarray(r2.x)[:A.nrow], np.asarray(r1.x),
+                               atol=1e-10)
