@@ -80,20 +80,25 @@ def main() -> None:
 
     total_s = setup_s + solve_s
 
-    # ---- SpMV throughput (chained inside one jit; readback-synced) ----
-    @partial(jax.jit, static_argnames=("iters",))
-    def spmv_chain(o, x, iters):
+    # ---- SpMV throughput (chained inside one jit; readback-synced;
+    # best of 3 identical runs to shed dispatch/sync jitter) ----
+    reps = 300
+
+    @jax.jit
+    def spmv_chain(o, x):
         def body(_, v):
             y = o(v)
             return y * jax.lax.rsqrt(jnp.vdot(y, y))
-        return jax.lax.fori_loop(0, iters, body, x)
+        return jax.lax.fori_loop(0, reps, body, x)
 
     bdev = jnp.asarray(b, dtype=dtype)
-    float(jnp.sum(spmv_chain(op, bdev, 10)))        # warm
-    reps = 200
-    t0 = time.perf_counter()
-    float(jnp.sum(spmv_chain(op, bdev, reps)))
-    spmv_s = (time.perf_counter() - t0) / reps
+    float(jnp.sum(spmv_chain(op, bdev)))            # compile + warm
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(spmv_chain(op, bdev)))
+        runs.append(time.perf_counter() - t0)
+    spmv_s = min(runs) / reps
     nnz = A.nnz
     bytes_per = op.bands.dtype.itemsize
     gbs = (op.bands.size * bytes_per + 3 * A.nrow * bytes_per) / spmv_s / 1e9

@@ -1,0 +1,142 @@
+"""Pallas TPU kernels for the hot stencil operations.
+
+The structured fast path's SpMV is a sum of shifted multiply-adds.  This
+kernel streams each x slab into VMEM once (with its one-row halo, double-
+buffered DMA) and applies all bands out of VMEM — one HBM pass over bands
++ one over x, the memory-traffic lower bound for a stencil apply.
+
+Measured on TPU v5e at 1023^2 / 5-point f32: this kernel 130 us/SpMV vs
+XLA's fused lowering of DiaOperator at 107 us (48.7 Gnnz/s).  XLA already
+fuses the shifted multiply-adds into a near-optimal single pass for this
+op, so the XLA path remains the DEFAULT; the kernel is kept as the
+explicit-DMA formulation — the starting point for fusions XLA cannot do
+(whole Chebyshev smoother steps, residual+restrict) and the template for
+the inter-chip RDMA variant.
+
+Only 2-D structured operators with per-axis offsets in {-1, 0, 1} (the
+5/9-point stencils the structured AMG produces at every level) fit this
+kernel; ``interpret=True`` runs it on CPU for testing.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit,
+         static_argnames=("offs2d", "ny", "nx", "tile", "interpret"))
+def dia_spmv_2d_pallas(bands2d, xp, offs2d: Tuple[Tuple[int, int], ...],
+                       ny: int, nx: int, tile: int = 64,
+                       interpret: bool = False):
+    """y = A x for a 2-D stencil operator.
+
+    bands2d: (k, ny_pad, nx) row-aligned band values (ny_pad = ceil to
+    tile); xp: (ny_pad + 2, nx + 2) zero-padded input (one halo cell per
+    side); offs2d: per-band (dy, dx), each in {-1, 0, 1}.  Returns
+    (ny_pad, nx).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = bands2d.shape[0]
+    ny_pad = bands2d.shape[1]
+    ntiles = ny_pad // tile
+    dtype = bands2d.dtype
+    nxh = xp.shape[1]                       # nx + 2
+
+    def slab_dma(xp_ref, scratch, sems, step, slot):
+        # slab = x rows [step*tile - 8, step*tile + tile + 8) in xp
+        # coordinates (xp has an 8-row top pad so the start stays
+        # sublane-aligned); scratch row 8+dy is the tile's first x row
+        # shifted by dy
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(step * tile, tile + 16), :],
+            scratch.at[slot], sems.at[slot])
+
+    def kernel(xp_ref, bands_ref, y_ref, scratch, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        two = jnp.asarray(2, i.dtype)
+        slot = jax.lax.rem(i, two)
+        nxt = jax.lax.rem(i + 1, two)
+
+        @pl.when(i == 0)
+        def _():
+            slab_dma(xp_ref, scratch, sems, 0, 0).start()
+
+        # double buffering: prefetch the next slab while computing this one
+        @pl.when(i + 1 < n)
+        def _():
+            slab_dma(xp_ref, scratch, sems, i + 1, nxt).start()
+
+        slab_dma(xp_ref, scratch, sems, i, slot).wait()
+        acc = jnp.zeros((tile, nx), dtype=dtype)
+        for kk, (dy, dx) in enumerate(offs2d):
+            xs = scratch[slot, 8 + dy:8 + dy + tile, 1 + dx:1 + dx + nx]
+            acc = acc + bands_ref[kk] * xs
+        y_ref[:, :] = acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ny_pad, nx), dtype),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # xp in HBM
+            pl.BlockSpec((k, tile, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, nx), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile + 16, nxh), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, bands2d)
+
+
+class StencilSpmv:
+    """Host-prepared wrapper: flat DIA (offsets, bands, dims) -> the Pallas
+    2-D stencil kernel with all padding precomputed."""
+
+    def __init__(self, offsets, bands_flat: np.ndarray,
+                 dims: Tuple[int, int], dtype, tile: int = 64,
+                 interpret: bool = False):
+        self.interpret = interpret
+        ny, nx = dims
+        offs2d = []
+        for o in offsets:
+            dy = int(np.rint(o / nx))
+            dx = int(o - dy * nx)
+            if abs(dy) > 1 or abs(dx) > 1:
+                raise ValueError("stencil kernel needs |dy|,|dx| <= 1")
+            offs2d.append((dy, dx))
+        self.offs2d = tuple(offs2d)
+        self.ny, self.nx = ny, nx
+        self.tile = tile
+        ny_pad = _round_up(ny, tile)
+        b = np.asarray(bands_flat, dtype=dtype).reshape(-1, ny, nx)
+        if ny_pad != ny:
+            b = np.pad(b, ((0, 0), (0, ny_pad - ny), (0, 0)))
+        self.ny_pad = ny_pad
+        self.bands2d = jnp.asarray(b)
+
+    def __call__(self, x):
+        xg = x.reshape(self.ny, self.nx)
+        # 8-row top pad (DMA slab alignment) + bottom fill so the last
+        # tile's (tile+16)-row slab stays in range; 1 halo column on the
+        # left, right-padded so the width is lane-aligned (128)
+        wpad = _round_up(self.nx + 2, 128) - self.nx - 1
+        xp = jnp.pad(xg, ((8, 8 + self.ny_pad - self.ny), (1, wpad)))
+        y = dia_spmv_2d_pallas(self.bands2d, xp, self.offs2d,
+                               self.ny, self.nx, self.tile,
+                               interpret=self.interpret)
+        return y[:self.ny].reshape(-1)

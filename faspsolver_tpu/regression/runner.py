@@ -66,8 +66,12 @@ def _problems(datadir: str = REFDATA):
 
 
 def _amg_config(name, **kw):
+    # pop once here, NOT inside the lambda: pop would mutate the closure on
+    # the first problem and every later problem would see the defaults
+    maxit = kw.pop("maxit", 20)
+    tol = kw.pop("tol", 1e-10)
     return (name, lambda A, b: _run_amg_solver(A, b, AMGParam(
-        maxit=kw.pop("maxit", 20), tol=kw.pop("tol", 1e-10), **kw)))
+        maxit=maxit, tol=tol, **kw)))
 
 
 def _run_amg_solver(A, b, param: AMGParam):
@@ -133,18 +137,24 @@ def core_configs() -> List[Tuple[str, Callable]]:
                     aggregation_type=int(AggregationType.PAIRWISE),
                     smoother=GS, maxit=250),
         # --- Krylov, unpreconditioned / diagonal (regression.c:282-400) ---
-        _krylov_config("CG", pcg, None),
-        _krylov_config("CG + diag", pcg, JacobiPrecond.from_csr),
-        _krylov_config("BiCGstab + diag", bicgstab, JacobiPrecond.from_csr),
-        _krylov_config("MinRes + diag", minres, JacobiPrecond.from_csr),
+        # nos7 is severely ill-conditioned (~4e9): hitting the 1e-4
+        # solution-accuracy rule with weak preconditioning needs deep
+        # relres, hence the large budgets and restart length
+        _krylov_config("CG", pcg, None, tol=1e-13, maxit=4000),
+        _krylov_config("CG + diag", pcg, JacobiPrecond.from_csr,
+                       tol=1e-13, maxit=4000),
+        _krylov_config("BiCGstab + diag", bicgstab, JacobiPrecond.from_csr,
+                       tol=1e-13, maxit=4000),
+        _krylov_config("MinRes + diag", minres, JacobiPrecond.from_csr,
+                       tol=1e-13, maxit=4000),
         _krylov_config("GMRES + diag", gmres, JacobiPrecond.from_csr,
-                       restart=30),
+                       restart=60, tol=1e-13, maxit=4000),
         _krylov_config("vGMRES + diag", vgmres, JacobiPrecond.from_csr,
-                       restart=30),
+                       restart=60, tol=1e-13, maxit=4000),
         _krylov_config("vFGMRES + diag", vfgmres, JacobiPrecond.from_csr,
-                       restart=30),
+                       restart=60, tol=1e-13, maxit=4000),
         _krylov_config("GCR + diag", gcr, JacobiPrecond.from_csr,
-                       restart=30),
+                       restart=60, tol=1e-13, maxit=4000),
         # --- Krylov + AMG (regression.c:402-640) ---
         _krylov_config("CG + AMG(direct)", pcg, _amg_precond(
             smoother=GS, interpolation_type=int(InterpType.DIRECT))),
@@ -173,8 +183,10 @@ def core_configs() -> List[Tuple[str, Callable]]:
         _krylov_config("GMRES + ILUt", gmres, _ilu_precond(
             ILU_type=int(ILUType.ILUT), ILU_droptol=1e-3), restart=30),
         # --- stop types (regression.c stop-type block) ---
-        _krylov_config("CG stop2", pcg, None, stop_type=2),
-        _krylov_config("CG stop3", pcg, None, stop_type=3),
+        _krylov_config("CG stop2", pcg, JacobiPrecond.from_csr, stop_type=2,
+                       tol=1e-13, maxit=4000),
+        _krylov_config("CG stop3", pcg, JacobiPrecond.from_csr, stop_type=3,
+                       tol=1e-13, maxit=4000),
         # --- safety-net variants ---
         ("SafeCG + diag", lambda A, b: pcg(
             device_operator(A, prefer="ell"), jnp.asarray(b),
