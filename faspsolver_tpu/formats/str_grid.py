@@ -81,3 +81,33 @@ class STRMatrix:
                 k = -off
                 y[k:] += np.einsum("gab,gb->ga", band[k:], xb[:ng - k])
         return y.reshape(-1)
+
+    def to_bsr(self):
+        """Expand bands to block-CSR (reference: fasp_format_dstr_dbsr,
+        BlaFormat.c)."""
+        from .bsr import BSRMatrix
+        ng, nc = self.ngrid, self.nc
+        rows_l, cols_l, blocks_l = [], [], []
+        rows_l.append(np.arange(ng))
+        cols_l.append(np.arange(ng))
+        blocks_l.append(self.diag)
+        for off, band in zip(self.offsets, self.offdiag):
+            if off > 0:
+                g = np.arange(ng - off)
+                rows_l.append(g)
+                cols_l.append(g + off)
+                blocks_l.append(band[:ng - off])
+            else:
+                g = np.arange(-off, ng)
+                rows_l.append(g)
+                cols_l.append(g + off)
+                blocks_l.append(band[-off:])
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+        blocks = np.concatenate(blocks_l, axis=0)
+        order = np.lexsort((cols, rows))
+        rows, cols, blocks = rows[order], cols[order], blocks[order]
+        indptr = np.zeros(ng + 1, dtype=np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        indptr = np.cumsum(indptr)
+        return BSRMatrix(indptr, cols, blocks, (ng, ng))

@@ -1,5 +1,6 @@
 from . import amg
-from .gmg import poisson_gmg_1d, poisson_gmg_2d, poisson_gmg_3d
+from .gmg import (poisson_gmg_1d, poisson_gmg_2d, poisson_gmg_3d,
+                  poisson_gmgcg_2d, poisson_gmgcg_3d)
 from .ilu import ILUPrecond, TriangularSolver, setup_ilu
 from .preconditioners import AMGNKPrecond, AMGPrecond, FMGPrecond
 from .schwarz import SchwarzPrecond, setup_schwarz
@@ -10,6 +11,7 @@ from .blc_precond import (BlcOperator, BlcPrecond, BlcSweepingPrecond,
 
 __all__ = ["amg", "AMGPrecond", "AMGNKPrecond", "FMGPrecond",
            "poisson_gmg_1d", "poisson_gmg_2d", "poisson_gmg_3d",
+           "poisson_gmgcg_2d", "poisson_gmgcg_3d",
            "ILUPrecond", "TriangularSolver", "setup_ilu",
            "SchwarzPrecond", "setup_schwarz",
            "StrDiagPrecond", "StrBlockGSPrecond", "setup_str_diag",

@@ -215,12 +215,48 @@ def cf_split_cr(A: CSRMatrix, S: sp.csr_matrix, nu: int = 4,
     return marker
 
 
+def cf_split_aggressive(A: CSRMatrix, S: sp.csr_matrix,
+                        path: int = 2) -> np.ndarray:
+    """Aggressive coarsening (reference: cfsplitting_agg,
+    PreAMGCoarsenRS.c): a standard RS pass first, then a second RS pass on
+    the C-point subgraph using distance-``path`` strong connections, so
+    only C points that are strongly path-connected stay coarse."""
+    marker = cf_split_rs(A, S)
+    cpts = np.nonzero(marker == CGPT)[0]
+    if len(cpts) < 4:
+        return marker
+    # strength among C points via paths of length <= path+1 in S (RS C
+    # points are distance>=2 apart, so distance-1 strength between them is
+    # empty; path=1 means "strongly connected through one F point", the
+    # reference's A1 aggressive scheme, path=2 the A2 scheme)
+    Sb = S.copy()
+    Sb.data = np.ones_like(Sb.data)
+    S2 = Sb
+    for _ in range(path):
+        S2 = (S2 @ Sb + S2).tocsr()
+    Sc = S2[cpts][:, cpts].tocsr()
+    Sc.setdiag(0)
+    Sc.eliminate_zeros()
+    sub = np.full(len(cpts), FGPT, dtype=np.int64)
+    # reuse the RS heuristic on the C-subgraph
+    subA = A.get_block(cpts, cpts)
+    sub = cf_split_rs(subA, Sc)
+    out = marker.copy()
+    out[cpts] = np.where(sub == CGPT, CGPT, FGPT)
+    if (out == CGPT).sum() == 0:       # degenerate: keep the first pass
+        return marker
+    return out
+
+
 def coarsen(A: CSRMatrix, theta: float = 0.25, max_row_sum: float = 0.9,
-            method: str = "rs") -> Tuple[np.ndarray, sp.csr_matrix]:
+            method: str = "rs", aggressive_path: int = 2
+            ) -> Tuple[np.ndarray, sp.csr_matrix]:
     """(cf_marker, strength matrix)."""
     S = strong_couplings(A, theta, max_row_sum)
     if method == "pmis":
         return cf_split_pmis(A, S), S
     if method == "cr":
         return cf_split_cr(A, S), S
+    if method == "aggressive":
+        return cf_split_aggressive(A, S, aggressive_path), S
     return cf_split_rs(A, S), S

@@ -37,8 +37,17 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
     method = {5: "pmis", 3: "cr"}.get(int(param.coarsening_type), "rs")
     while (len(host_levels) < max_levels
            and cur.nrow > max(param.coarse_dof, 1)):
+        lvl_method = method
+        # aggressive coarsening on the first `aggressive_level` levels
+        # (reference: AMG_aggressive_level / cfsplitting_agg)
+        if (method == "rs" and len(host_levels) - 1
+                < getattr(param, "aggressive_level", 0)):
+            lvl_method = "aggressive"
         marker, S = coarsen(cur, theta=param.strong_threshold,
-                            max_row_sum=param.max_row_sum, method=method)
+                            max_row_sum=param.max_row_sum,
+                            method=lvl_method,
+                            aggressive_path=getattr(param,
+                                                    "aggressive_path", 2))
         nc = int((marker == CGPT).sum())
         # guards (reference: PreAMGSetupRS.c:161-270)
         if nc == 0 or nc >= cur.nrow:          # coarsening failed/stalled
@@ -69,9 +78,37 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
             break
         Pop, Rop = csr_transfer(Ps[l], dtype=dtype)
         cf = markers[l] if param.smooth_order == 1 else None
-        sm = build_smoother(Al, param.smoother, relax=param.relaxation,
-                            poly_degree=param.polynomial_degree,
-                            cf_marker=cf, dtype=dtype)
+        # ILU/Schwarz smoothing on the finest levels (reference:
+        # ILU_levels / SWZ_levels, PreAMGSetupRS.c:131-155; graceful
+        # fallback to the standard smoother on factorization failure)
+        sm = None
+        if l < getattr(param, "ILU_levels", 0):
+            try:
+                from ..ilu import setup_ilu
+                from ...utils.params import ILUParam
+                from .smoothers import PrecondSmoother
+                sm = PrecondSmoother(setup_ilu(
+                    Al, ILUParam(ILU_type=param.ILU_type,
+                                 ILU_lfil=param.ILU_lfil,
+                                 ILU_droptol=param.ILU_droptol),
+                    dtype=dtype))
+            except Exception:   # noqa: BLE001 — degrade like the reference
+                sm = None
+        elif l < getattr(param, "SWZ_levels", 0):
+            try:
+                from ..schwarz import setup_schwarz
+                from ...utils.params import SWZParam
+                from .smoothers import PrecondSmoother
+                sm = PrecondSmoother(setup_schwarz(
+                    Al, SWZParam(SWZ_mmsize=param.SWZ_mmsize,
+                                 SWZ_maxlvl=param.SWZ_maxlvl,
+                                 SWZ_type=param.SWZ_type), dtype=dtype))
+            except Exception:   # noqa: BLE001
+                sm = None
+        if sm is None:
+            sm = build_smoother(Al, param.smoother, relax=param.relaxation,
+                                poly_degree=param.polynomial_degree,
+                                cf_marker=cf, dtype=dtype)
         levels.append(AMGLevel(A=EllOperator.from_csr(Al, dtype=dtype),
                                P=Pop, R=Rop, smoother=sm))
 

@@ -62,6 +62,25 @@ class SmootherData:
                                               # gather-free exact RB-GS
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PrecondSmoother:
+    """Any preconditioner used as a multigrid smoother:
+    x <- x + M(b - A x) per sweep.
+
+    This is how the reference applies ILU and Schwarz as smoothers on the
+    finest AMG levels (ILU_levels / SWZ_levels, PreAMGSetupRS.c:131-155;
+    cycle priority ILU > Schwarz > standard, PreMGCycle.c:100-133).
+    """
+
+    M: object          # pytree preconditioner (ILUPrecond, SchwarzPrecond…)
+
+    def smooth(self, A, x, b, nsweeps: int, forward: bool):
+        for _ in range(nsweeps):
+            x = x + self.M(b - A(x))
+        return x
+
+
 def _ell_rows(A: CSRMatrix, rows: np.ndarray, dtype, drop_diag=True):
     """Gather selected rows of A into a dense (len(rows), k) ELL block."""
     sub = A.to_scipy()[rows, :].tocsr()
@@ -187,6 +206,8 @@ def smooth(sm, A, x, b, nsweeps: int, forward: bool):
     from .bsr_smoothers import BsrSmootherData, bsr_smooth
     if isinstance(sm, BsrSmootherData):
         return bsr_smooth(sm, A, x, b, nsweeps, forward)
+    if isinstance(sm, PrecondSmoother):
+        return sm.smooth(A, x, b, nsweeps, forward)
     kind = sm.kind
     for _ in range(nsweeps):
         if kind == SmootherType.JACOBI:

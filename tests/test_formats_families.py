@@ -160,3 +160,70 @@ def test_benchmark_lmvu():
     from faspsolver_tpu.benchmark import compute_lmvu
     lmvu = compute_lmvu(n_base=63, iters=10)
     assert 0 < lmvu < 1e-3
+
+
+def test_gmgcg_variants():
+    from faspsolver_tpu.precond import poisson_gmgcg_2d, poisson_gmgcg_3d
+    n = 32
+    xs = np.arange(n + 1) / n
+    X, Y = np.meshgrid(xs, xs)
+    f = 2 * np.pi**2 * np.sin(np.pi * X) * np.sin(np.pi * Y)
+    r = poisson_gmgcg_2d(jnp.asarray(f), n, tol=1e-9)
+    assert bool(r.converged) and int(r.iters) <= 10
+    uex = np.sin(np.pi * X) * np.sin(np.pi * Y)
+    assert np.abs(np.asarray(r.x) - uex).max() < 2e-3   # O(h^2)
+    n3 = 8
+    xs3 = np.arange(n3 + 1) / n3
+    Xg, Yg, Zg = np.meshgrid(xs3, xs3, xs3, indexing="ij")
+    f3 = 3 * np.pi**2 * np.sin(np.pi * Xg) * np.sin(np.pi * Yg) \
+        * np.sin(np.pi * Zg)
+    r3 = poisson_gmgcg_3d(jnp.asarray(f3), n3, tol=1e-9)
+    assert bool(r3.converged)
+
+
+def test_aggressive_coarsening_reduces_c_points():
+    from faspsolver_tpu.precond.amg.coarsen_rs import (cf_split_aggressive,
+                                                       cf_split_rs,
+                                                       strong_couplings)
+    from faspsolver_tpu.constants import CGPT
+    from faspsolver_tpu.testgen import poisson_2d_manufactured
+    A, _, _ = poisson_2d_manufactured(32)
+    S = strong_couplings(A, 0.25, 0.9)
+    nc_rs = (cf_split_rs(A, S) == CGPT).sum()
+    nc_agg = (cf_split_aggressive(A, S, 1) == CGPT).sum()
+    assert 0 < nc_agg < 0.6 * nc_rs
+
+
+@pytest.mark.parametrize("which", ["ILU_levels", "SWZ_levels",
+                                   "aggressive_level"])
+def test_rs_setup_feature_levels(which):
+    from faspsolver_tpu.precond.amg import setup_rs
+    from faspsolver_tpu.precond import AMGPrecond
+    from faspsolver_tpu.krylov import pcg
+    from faspsolver_tpu.ops import device_operator
+    from faspsolver_tpu.testgen import poisson_2d_manufactured
+    A, b, xex = poisson_2d_manufactured(24)
+    h = setup_rs(A, AMGParam(coarse_dof=50, **{which: 1}))
+    r = pcg(device_operator(A), jnp.asarray(b), M=AMGPrecond(h),
+            tol=1e-10, maxit=200)
+    assert bool(r.converged)
+    assert np.abs(np.asarray(r.x) - xex).max() < 1e-8
+
+
+def test_str_to_bsr():
+    A = _make_str()
+    x = RNG.standard_normal(A.nrow)
+    np.testing.assert_allclose(A.to_bsr().matvec(x), A.matvec(x),
+                               rtol=1e-13)
+
+
+def test_capi_flat_arrays():
+    from faspsolver_tpu import capi
+    from faspsolver_tpu.testgen import poisson_2d_manufactured
+    A, b, xex = poisson_2d_manufactured(16)
+    x, it, rr = capi.dcsr_krylov_amg(A.nrow, A.indptr, A.indices, A.data, b,
+                                     tol=1e-10, maxit=200)
+    assert np.abs(x - xex).max() < 1e-8
+    x2, _, _ = capi.dcsr_krylov_ilu(A.nrow, A.indptr, A.indices, A.data, b,
+                                    tol=1e-10, maxit=300)
+    assert np.abs(x2 - xex).max() < 1e-8
