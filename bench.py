@@ -26,7 +26,16 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
+    # persistent compilation cache: recompiling identical XLA programs on
+    # every bench invocation is pure overhead (the reference pays no JIT
+    # cost at all)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     import jax.numpy as jnp
     from faspsolver_tpu.krylov import pcg
     from faspsolver_tpu.ops import DiaOperator

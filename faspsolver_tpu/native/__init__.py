@@ -21,6 +21,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fasp_native.cpp")
+_SRC2 = os.path.join(_HERE, "band_ops.cpp")
 _SO = os.path.join(_HERE, "_fasp_native.so")
 
 _lock = threading.Lock()
@@ -33,11 +34,11 @@ _f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 def _build() -> bool:
     try:
-        src_mtime = os.path.getmtime(_SRC)
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
-        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-               "-fPIC", _SRC, "-o", _SO + ".tmp"]
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fopenmp",
+               "-shared", "-fPIC", _SRC, _SRC2, "-o", _SO + ".tmp"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         os.replace(_SO + ".tmp", _SO)
         return True
@@ -81,6 +82,21 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fasp_rs_cf_split.restype = ctypes.c_int
         lib.fasp_rs_cf_split.argtypes = [ctypes.c_int, _i32p, _i32p,
                                          _i32p, _i32p, _i32p]
+        _f32p = np.ctypeslib.ndpointer(dtype=np.float32,
+                                       flags="C_CONTIGUOUS")
+        for suf, fp in (("f64", _f64p), ("f32", _f32p)):
+            mm = getattr(lib, f"fasp_band_matmul_2d_{suf}")
+            mm.restype = ctypes.c_int
+            mm.argtypes = [ctypes.c_int, ctypes.c_int,
+                           ctypes.c_int, _i32p, fp,
+                           ctypes.c_int, _i32p, fp,
+                           ctypes.c_int, _i32p, fp]
+            rr = getattr(lib, f"fasp_pair_rap_2d_{suf}")
+            rr.restype = ctypes.c_int
+            rr.argtypes = [ctypes.c_int, ctypes.c_int,
+                           ctypes.c_int, _i32p, fp,
+                           ctypes.c_int, ctypes.c_int,
+                           ctypes.c_int, _i32p, fp]
         _lib = lib
         return _lib
 
@@ -197,3 +213,62 @@ def rs_cf_split(S) -> Optional[np.ndarray]:
     cf = np.empty(n, dtype=np.int32)
     lib.fasp_rs_cf_split(n, s_indptr, s_indices, st_indptr, st_indices, cf)
     return cf
+
+
+def band_matmul_2d(dims, coords_a, bands_a, coords_b, bands_b):
+    """Fused 2-D band product C = A @ B.  bands: (k, ny, nx) contiguous;
+    coords: (k, 2) int32 (dy, dx).  Returns (coords_c, bands_c) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    ny, nx = dims
+    ka, kb = len(coords_a), len(coords_b)
+    # symbolic pass in Python: exact output band count, so the result
+    # buffer is exactly sized (an over-allocated ka*kb buffer causes
+    # memory pressure on small hosts)
+    uniq = {(int(a[0]) + int(b[0]), int(a[1]) + int(b[1]))
+            for a in coords_a for b in coords_b}
+    max_kc = len(uniq)
+    dtype = bands_a.dtype
+    fn = (lib.fasp_band_matmul_2d_f32 if dtype == np.float32
+          else lib.fasp_band_matmul_2d_f64)
+    ca = np.ascontiguousarray(coords_a, dtype=np.int32)
+    cb = np.ascontiguousarray(coords_b, dtype=np.int32)
+    A = np.ascontiguousarray(bands_a)
+    B = np.ascontiguousarray(bands_b.astype(dtype, copy=False))
+    cc = np.empty((max_kc, 2), dtype=np.int32)
+    C = np.empty((max_kc, ny, nx), dtype=dtype)
+    kc = fn(ny, nx, ka, ca, A, kb, cb, B, max_kc, cc, C)
+    if kc < 0:
+        return None
+    return cc[:kc], C[:kc]
+
+
+def pair_rap_2d(dims, coords, bands, ax: int, s: int):
+    """Fused 2-D boolean-grouping Galerkin RAP along one axis."""
+    lib = _load()
+    if lib is None:
+        return None
+    ny, nx = dims
+    k = len(coords)
+    uniq = set()
+    for c in coords:
+        comp = int(c[ax])
+        for a in range(s):
+            bb = (comp + a) % s
+            oc = (comp + a - bb) // s
+            uniq.add((oc, int(c[1])) if ax == 0 else (int(c[0]), oc))
+    max_kc = len(uniq)
+    dtype = bands.dtype
+    fn = (lib.fasp_pair_rap_2d_f32 if dtype == np.float32
+          else lib.fasp_pair_rap_2d_f64)
+    cf = np.ascontiguousarray(coords, dtype=np.int32)
+    F = np.ascontiguousarray(bands)
+    dyc = (ny + s - 1) // s if ax == 0 else ny
+    dxc = (nx + s - 1) // s if ax == 1 else nx
+    cc = np.empty((max_kc, 2), dtype=np.int32)
+    C = np.empty((max_kc, dyc, dxc), dtype=dtype)
+    kc = fn(ny, nx, k, cf, F, ax, s, max_kc, cc, C)
+    if kc < 0:
+        return None
+    return cc[:kc], C[:kc], (dyc, dxc)

@@ -155,6 +155,22 @@ class BandMatrix:
 
     # -- algebra -----------------------------------------------------------
 
+    def _stack(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(coords (k, nd) int32, bands (k, *dims)) for the native kernels."""
+        items = sorted(self.bands.items())
+        coords = np.asarray([c for c, _ in items], dtype=np.int32)
+        stack = np.stack([b for _, b in items]) if items else \
+            np.zeros((0,) + self.dims)
+        return coords, stack
+
+    @classmethod
+    def _from_stack(cls, dims, coords, stack) -> "BandMatrix":
+        out = cls(tuple(dims))
+        for c, b in zip(coords, stack):
+            if np.any(b):
+                out.bands[tuple(int(x) for x in c)] = b
+        return out
+
     def _shifted(self, band: np.ndarray, shift: Coord) -> np.ndarray:
         """out[idx] = band[idx + shift] (zero where out of range)."""
         out = np.zeros_like(band)
@@ -202,8 +218,17 @@ class BandMatrix:
 
         Fused slice form: the product is accumulated only on the index
         range where the shift is in-bounds — no shifted temporary, one
-        pass per band pair.
+        pass per band pair.  2-D grids route to the native OpenMP kernel
+        (band_ops.cpp) when available.
         """
+        if len(self.dims) == 2 and self.bands and other.bands:
+            from ... import native
+            ca, sa = self._stack()
+            cb, sb = other._stack()
+            if sa.dtype == sb.dtype:
+                nat = native.band_matmul_2d(self.dims, ca, sa, cb, sb)
+                if nat is not None:
+                    return BandMatrix._from_stack(self.dims, *nat)
         out: Dict[Coord, np.ndarray] = {}
         nd = len(self.dims)
         for c1, b1 in self.bands.items():
@@ -239,7 +264,15 @@ class BandMatrix:
         """Exact Galerkin product P^T A P for boolean group aggregation
         along axis ``ax`` (aggregates {sJ..sJ+s-1}), directly in band
         space: a fine entry at rows sJ+a with axis-offset component c lands
-        on coarse offset oc = (c + a - b)/s where b = (c + a) mod s."""
+        on coarse offset oc = (c + a - b)/s where b = (c + a) mod s.
+        2-D grids route to the native OpenMP kernel when available."""
+        if len(self.dims) == 2 and self.bands:
+            from ... import native
+            cf, stack = self._stack()
+            nat = native.pair_rap_2d(self.dims, cf, stack, ax, s)
+            if nat is not None:
+                cc, C, cdims2 = nat
+                return BandMatrix._from_stack(cdims2, cc, C)
         d = self.dims[ax]
         dc = (d + s - 1) // s
         cdims = list(self.dims)
