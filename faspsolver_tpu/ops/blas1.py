@@ -71,3 +71,14 @@ def update_xr(x: jax.Array, r: jax.Array, alpha, p: jax.Array, Ap: jax.Array
               ) -> Tuple[jax.Array, jax.Array]:
     """CG inner update: x += alpha p; r -= alpha Ap (one fused pass)."""
     return x + alpha * p, r - alpha * Ap
+
+
+def maxdiff(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Maximum absolute difference (reference: fasp_dvec_maxdiff,
+    AuxVector.c)."""
+    return jnp.max(jnp.abs(x - y))
+
+
+def isnan(x: jax.Array) -> jax.Array:
+    """Any-NaN check (reference: fasp_dvec_isnan, AuxVector.c)."""
+    return jnp.any(jnp.isnan(x))

@@ -4,8 +4,8 @@ from .cycles import amli_coefs, amli_cycle, fmg_cycle, mgcycle, nl_amli_cycle
 from .hierarchy import AMGHierarchy, AMGLevel, CoarseSolver
 from .coarsen_rs import (cf_split_cr, cf_split_pmis, cf_split_rs, coarsen,
                          strong_couplings)
-from .interp import (interp_direct, interp_energymin, interp_standard,
-                     interpolate, truncate)
+from .interp import (interp_direct, interp_energymin, interp_extended,
+                     interp_standard, interpolate, truncate)
 from .bsr_smoothers import BsrSmootherData, build_bsr_smoother
 from .setup_bsr import setup_sa_bsr, setup_ua_bsr
 from .setup_rs import setup_cr, setup_rs
@@ -24,7 +24,8 @@ __all__ = [
     "AMGHierarchy", "AMGLevel", "CoarseSolver",
     "cf_split_cr", "cf_split_pmis", "cf_split_rs", "coarsen",
     "strong_couplings",
-    "interp_direct", "interp_energymin", "interp_standard", "interpolate",
+    "interp_direct", "interp_energymin", "interp_extended",
+    "interp_standard", "interpolate",
     "truncate",
     "setup_cr", "setup_rs", "setup_sa", "setup_sa_bsr", "setup_ua",
     "setup_ua_bsr", "setup_structured",

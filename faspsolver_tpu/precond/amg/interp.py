@@ -22,7 +22,7 @@ def interpolate(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix,
     if interp_type == InterpType.STANDARD:
         P = interp_standard(A, cf_marker, S)
     elif interp_type == InterpType.EXTENDED:
-        P = interp_standard(A, cf_marker, S)   # EXT ~ STD+ext; STD basis
+        P = interp_extended(A, cf_marker, S)
     elif interp_type == InterpType.ENERGYMIN:
         P = interp_energymin(A, cf_marker, S)
     else:
@@ -185,6 +185,80 @@ def interp_standard(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
                 continue
             w = aij / denom
             for k in np.nonzero(neg)[0]:
+                acc[jidx[k]] = acc.get(jidx[k], 0.0) + w * ja[k]
+
+        aii = acc.pop(i, 1.0)
+        negsum = sum(v for j, v in acc.items() if v < 0)
+        possum = sum(v for j, v in acc.items() if v > 0)
+        negC = {j: v for j, v in acc.items()
+                if v < 0 and cf_marker[j] == CGPT}
+        posC = {j: v for j, v in acc.items()
+                if v > 0 and cf_marker[j] == CGPT}
+        alpha = (negsum / sum(negC.values())) if negC else 0.0
+        if posC:
+            beta = possum / sum(posC.values())
+        else:
+            beta = 0.0
+            aii += possum
+        for j, v in negC.items():
+            rows.append(i)
+            cols.append(cidx[j])
+            vals.append(-alpha * v / aii)
+        for j, v in posC.items():
+            rows.append(i)
+            cols.append(cidx[j])
+            vals.append(-beta * v / aii)
+
+    return CSRMatrix.from_coo(np.array(rows, dtype=np.int64),
+                              np.array(cols, dtype=np.int64),
+                              np.array(vals), (n, nc))
+
+
+def interp_extended(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
+                    ) -> CSRMatrix:
+    """Extended+i interpolation (reference: interp_EXT, PreAMGInterp.c —
+    De Sterck/Yang ext+i): a strong F-F connection a_ij is distributed
+    only over j's coarse neighbors *and the point i itself*, not over all
+    of j's negative neighbors (which is the standard scheme's rule).  This
+    keeps the interpolatory set to distance-2 C points and is the robust
+    choice with aggressive coarsening."""
+    n = A.nrow
+    cidx = _coarse_index(cf_marker)
+    nc = int((cf_marker == CGPT).sum())
+    m = A.to_scipy().tocsr()
+    Sr = S.tocsr()
+
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        if cf_marker[i] == CGPT:
+            rows.append(i)
+            cols.append(cidx[i])
+            vals.append(1.0)
+            continue
+        if cf_marker[i] == ISPT:
+            continue
+
+        strong = set(Sr.indices[Sr.indptr[i]:Sr.indptr[i + 1]])
+        acc = {}
+        s, e = m.indptr[i], m.indptr[i + 1]
+        for k in range(s, e):
+            acc[m.indices[k]] = acc.get(m.indices[k], 0.0) + m.data[k]
+
+        for j in list(acc.keys()):
+            if j == i or cf_marker[j] != FGPT or j not in strong:
+                continue
+            aij = acc.pop(j)
+            sj, ej = m.indptr[j], m.indptr[j + 1]
+            jidx = m.indices[sj:ej]
+            ja = m.data[sj:ej]
+            # ext+i rule: distribute over j's C neighbors and over i
+            keep = (ja < 0) & ((cf_marker[jidx] == CGPT) | (jidx == i))
+            denom = ja[keep].sum()
+            if denom == 0.0:
+                acc[i] = acc.get(i, 0.0) + aij
+                continue
+            w = aij / denom
+            for k in np.nonzero(keep)[0]:
                 acc[jidx[k]] = acc.get(jidx[k], 0.0) + w * ja[k]
 
         aii = acc.pop(i, 1.0)
