@@ -272,3 +272,78 @@ def pair_rap_2d(dims, coords, bands, ax: int, s: int):
     if kc < 0:
         return None
     return cc[:kc], C[:kc], (dyc, dxc)
+
+
+def _bind_band3d(lib):
+    _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+    for suf, fp in (("f64", _f64p), ("f32", _f32p)):
+        mm = getattr(lib, f"fasp_band_matmul_3d_{suf}", None)
+        if mm is None:
+            return False
+        mm.restype = ctypes.c_int
+        mm.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, _i32p, fp,
+                       ctypes.c_int, _i32p, fp,
+                       ctypes.c_int, _i32p, fp]
+        rr = getattr(lib, f"fasp_pair_rap_3d_{suf}")
+        rr.restype = ctypes.c_int
+        rr.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, _i32p, fp,
+                       ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, _i32p, fp]
+    return True
+
+
+def band_matmul_3d(dims, coords_a, bands_a, coords_b, bands_b):
+    """Fused 3-D band product; same contract as band_matmul_2d."""
+    lib = _load()
+    if lib is None or not _bind_band3d(lib):
+        return None
+    nz, ny, nx = dims
+    uniq = {tuple(int(a[d]) + int(b[d]) for d in range(3))
+            for a in coords_a for b in coords_b}
+    max_kc = len(uniq)
+    dtype = bands_a.dtype
+    fn = (lib.fasp_band_matmul_3d_f32 if dtype == np.float32
+          else lib.fasp_band_matmul_3d_f64)
+    ca = np.ascontiguousarray(coords_a, dtype=np.int32)
+    cb = np.ascontiguousarray(coords_b, dtype=np.int32)
+    A = np.ascontiguousarray(bands_a)
+    B = np.ascontiguousarray(bands_b.astype(dtype, copy=False))
+    cc = np.empty((max_kc, 3), dtype=np.int32)
+    C = np.empty((max_kc, nz, ny, nx), dtype=dtype)
+    kc = fn(nz, ny, nx, len(ca), ca, A, len(cb), cb, B, max_kc, cc, C)
+    if kc < 0:
+        return None
+    return cc[:kc], C[:kc]
+
+
+def pair_rap_3d(dims, coords, bands, ax: int, s: int):
+    """Fused 3-D boolean-grouping Galerkin RAP along one axis."""
+    lib = _load()
+    if lib is None or not _bind_band3d(lib):
+        return None
+    nz, ny, nx = dims
+    uniq = set()
+    for c in coords:
+        comp = int(c[ax])
+        for a in range(s):
+            bb = (comp + a) % s
+            oc = (comp + a - bb) // s
+            cc_ = list(int(v) for v in c)
+            cc_[ax] = oc
+            uniq.add(tuple(cc_))
+    max_kc = len(uniq)
+    dtype = bands.dtype
+    fn = (lib.fasp_pair_rap_3d_f32 if dtype == np.float32
+          else lib.fasp_pair_rap_3d_f64)
+    cf = np.ascontiguousarray(coords, dtype=np.int32)
+    F = np.ascontiguousarray(bands)
+    cdims = [nz, ny, nx]
+    cdims[ax] = (cdims[ax] + s - 1) // s
+    cc = np.empty((max_kc, 3), dtype=np.int32)
+    C = np.empty((max_kc, cdims[0], cdims[1], cdims[2]), dtype=dtype)
+    kc = fn(nz, ny, nx, len(cf), cf, F, ax, s, max_kc, cc, C)
+    if kc < 0:
+        return None
+    return cc[:kc], C[:kc], tuple(cdims)

@@ -221,12 +221,14 @@ class BandMatrix:
         pass per band pair.  2-D grids route to the native OpenMP kernel
         (band_ops.cpp) when available.
         """
-        if len(self.dims) == 2 and self.bands and other.bands:
+        if len(self.dims) in (2, 3) and self.bands and other.bands:
             from ... import native
             ca, sa = self._stack()
             cb, sb = other._stack()
             if sa.dtype == sb.dtype:
-                nat = native.band_matmul_2d(self.dims, ca, sa, cb, sb)
+                fn = (native.band_matmul_2d if len(self.dims) == 2
+                      else native.band_matmul_3d)
+                nat = fn(self.dims, ca, sa, cb, sb)
                 if nat is not None:
                     return BandMatrix._from_stack(self.dims, *nat)
         out: Dict[Coord, np.ndarray] = {}
@@ -266,10 +268,12 @@ class BandMatrix:
         space: a fine entry at rows sJ+a with axis-offset component c lands
         on coarse offset oc = (c + a - b)/s where b = (c + a) mod s.
         2-D grids route to the native OpenMP kernel when available."""
-        if len(self.dims) == 2 and self.bands:
+        if len(self.dims) in (2, 3) and self.bands:
             from ... import native
             cf, stack = self._stack()
-            nat = native.pair_rap_2d(self.dims, cf, stack, ax, s)
+            fn = (native.pair_rap_2d if len(self.dims) == 2
+                  else native.pair_rap_3d)
+            nat = fn(self.dims, cf, stack, ax, s)
             if nat is not None:
                 cc, C, cdims2 = nat
                 return BandMatrix._from_stack(cdims2, cc, C)
