@@ -84,16 +84,17 @@ def _load() -> Optional[ctypes.CDLL]:
                                          _i32p, _i32p, _i32p]
         _f32p = np.ctypeslib.ndpointer(dtype=np.float32,
                                        flags="C_CONTIGUOUS")
+        # band kernels are 3-D only; 2-D calls route through them with nz=1
         for suf, fp in (("f64", _f64p), ("f32", _f32p)):
-            mm = getattr(lib, f"fasp_band_matmul_2d_{suf}")
+            mm = getattr(lib, f"fasp_band_matmul_3d_{suf}")
             mm.restype = ctypes.c_int
-            mm.argtypes = [ctypes.c_int, ctypes.c_int,
+            mm.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
                            ctypes.c_int, _i32p, fp,
                            ctypes.c_int, _i32p, fp,
                            ctypes.c_int, _i32p, fp]
-            rr = getattr(lib, f"fasp_pair_rap_2d_{suf}")
+            rr = getattr(lib, f"fasp_pair_rap_3d_{suf}")
             rr.restype = ctypes.c_int
-            rr.argtypes = [ctypes.c_int, ctypes.c_int,
+            rr.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
                            ctypes.c_int, _i32p, fp,
                            ctypes.c_int, ctypes.c_int,
                            ctypes.c_int, _i32p, fp]
@@ -215,91 +216,16 @@ def rs_cf_split(S) -> Optional[np.ndarray]:
     return cf
 
 
-def band_matmul_2d(dims, coords_a, bands_a, coords_b, bands_b):
-    """Fused 2-D band product C = A @ B.  bands: (k, ny, nx) contiguous;
-    coords: (k, 2) int32 (dy, dx).  Returns (coords_c, bands_c) or None."""
-    lib = _load()
-    if lib is None:
-        return None
-    ny, nx = dims
-    ka, kb = len(coords_a), len(coords_b)
-    # symbolic pass in Python: exact output band count, so the result
-    # buffer is exactly sized (an over-allocated ka*kb buffer causes
-    # memory pressure on small hosts)
-    uniq = {(int(a[0]) + int(b[0]), int(a[1]) + int(b[1]))
-            for a in coords_a for b in coords_b}
-    max_kc = len(uniq)
-    dtype = bands_a.dtype
-    fn = (lib.fasp_band_matmul_2d_f32 if dtype == np.float32
-          else lib.fasp_band_matmul_2d_f64)
-    ca = np.ascontiguousarray(coords_a, dtype=np.int32)
-    cb = np.ascontiguousarray(coords_b, dtype=np.int32)
-    A = np.ascontiguousarray(bands_a)
-    B = np.ascontiguousarray(bands_b.astype(dtype, copy=False))
-    cc = np.empty((max_kc, 2), dtype=np.int32)
-    C = np.empty((max_kc, ny, nx), dtype=dtype)
-    kc = fn(ny, nx, ka, ca, A, kb, cb, B, max_kc, cc, C)
-    if kc < 0:
-        return None
-    return cc[:kc], C[:kc]
-
-
-def pair_rap_2d(dims, coords, bands, ax: int, s: int):
-    """Fused 2-D boolean-grouping Galerkin RAP along one axis."""
-    lib = _load()
-    if lib is None:
-        return None
-    ny, nx = dims
-    k = len(coords)
-    uniq = set()
-    for c in coords:
-        comp = int(c[ax])
-        for a in range(s):
-            bb = (comp + a) % s
-            oc = (comp + a - bb) // s
-            uniq.add((oc, int(c[1])) if ax == 0 else (int(c[0]), oc))
-    max_kc = len(uniq)
-    dtype = bands.dtype
-    fn = (lib.fasp_pair_rap_2d_f32 if dtype == np.float32
-          else lib.fasp_pair_rap_2d_f64)
-    cf = np.ascontiguousarray(coords, dtype=np.int32)
-    F = np.ascontiguousarray(bands)
-    dyc = (ny + s - 1) // s if ax == 0 else ny
-    dxc = (nx + s - 1) // s if ax == 1 else nx
-    cc = np.empty((max_kc, 2), dtype=np.int32)
-    C = np.empty((max_kc, dyc, dxc), dtype=dtype)
-    kc = fn(ny, nx, k, cf, F, ax, s, max_kc, cc, C)
-    if kc < 0:
-        return None
-    return cc[:kc], C[:kc], (dyc, dxc)
-
-
-def _bind_band3d(lib):
-    _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
-    for suf, fp in (("f64", _f64p), ("f32", _f32p)):
-        mm = getattr(lib, f"fasp_band_matmul_3d_{suf}", None)
-        if mm is None:
-            return False
-        mm.restype = ctypes.c_int
-        mm.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                       ctypes.c_int, _i32p, fp,
-                       ctypes.c_int, _i32p, fp,
-                       ctypes.c_int, _i32p, fp]
-        rr = getattr(lib, f"fasp_pair_rap_3d_{suf}")
-        rr.restype = ctypes.c_int
-        rr.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                       ctypes.c_int, _i32p, fp,
-                       ctypes.c_int, ctypes.c_int,
-                       ctypes.c_int, _i32p, fp]
-    return True
-
-
 def band_matmul_3d(dims, coords_a, bands_a, coords_b, bands_b):
-    """Fused 3-D band product; same contract as band_matmul_2d."""
+    """Fused band product C = A @ B on a (nz, ny, nx) grid.  bands:
+    (k, nz, ny, nx) contiguous; coords: (k, 3) int32.  Returns
+    (coords_c, bands_c) or None when no native library is available."""
     lib = _load()
-    if lib is None or not _bind_band3d(lib):
+    if lib is None:
         return None
     nz, ny, nx = dims
+    # symbolic pass in Python: exact output band count, so the result
+    # buffer is exactly sized
     uniq = {tuple(int(a[d]) + int(b[d]) for d in range(3))
             for a in coords_a for b in coords_b}
     max_kc = len(uniq)
@@ -319,9 +245,9 @@ def band_matmul_3d(dims, coords_a, bands_a, coords_b, bands_b):
 
 
 def pair_rap_3d(dims, coords, bands, ax: int, s: int):
-    """Fused 3-D boolean-grouping Galerkin RAP along one axis."""
+    """Fused boolean-grouping Galerkin RAP along one axis of a 3-D grid."""
     lib = _load()
-    if lib is None or not _bind_band3d(lib):
+    if lib is None:
         return None
     nz, ny, nx = dims
     uniq = set()
@@ -330,7 +256,7 @@ def pair_rap_3d(dims, coords, bands, ax: int, s: int):
         for a in range(s):
             bb = (comp + a) % s
             oc = (comp + a - bb) // s
-            cc_ = list(int(v) for v in c)
+            cc_ = [int(v) for v in c]
             cc_[ax] = oc
             uniq.add(tuple(cc_))
     max_kc = len(uniq)
@@ -347,3 +273,34 @@ def pair_rap_3d(dims, coords, bands, ax: int, s: int):
     if kc < 0:
         return None
     return cc[:kc], C[:kc], tuple(cdims)
+
+
+def band_matmul_2d(dims, coords_a, bands_a, coords_b, bands_b):
+    """2-D band product: the 3-D kernel with nz = 1, dz = 0."""
+    ny, nx = dims
+    ka, kb = len(coords_a), len(coords_b)
+    ca = np.zeros((ka, 3), dtype=np.int32)
+    ca[:, 1:] = coords_a
+    cb = np.zeros((kb, 3), dtype=np.int32)
+    cb[:, 1:] = coords_b
+    out = band_matmul_3d((1, ny, nx), ca,
+                         bands_a.reshape(ka, 1, ny, nx), cb,
+                         bands_b.reshape(kb, 1, ny, nx))
+    if out is None:
+        return None
+    cc, C = out
+    return cc[:, 1:], C.reshape(-1, ny, nx)
+
+
+def pair_rap_2d(dims, coords, bands, ax: int, s: int):
+    """2-D grouping RAP: the 3-D kernel with nz = 1 (axes shift by one)."""
+    ny, nx = dims
+    k = len(coords)
+    cf = np.zeros((k, 3), dtype=np.int32)
+    cf[:, 1:] = coords
+    out = pair_rap_3d((1, ny, nx), cf, bands.reshape(k, 1, ny, nx),
+                      ax + 1, s)
+    if out is None:
+        return None
+    cc, C, cdims3 = out
+    return cc[:, 1:], C.reshape(len(cc), cdims3[1], cdims3[2]), cdims3[1:]

@@ -6,10 +6,9 @@
 // OpenMP — the host-side analog of the reference's OpenMP'd RAP
 // (fasp_blas_dcsr_rap, BlaSpmvCSR.c:999).
 //
-// 2-D grids only (the structured path's common case); callers fall back
-// to NumPy for other ranks.  Coordinates are (dy, dx) per band; bands are
-// row-major (ny, nx) arrays, value at grid point (y, x) multiplies
-// x[(y+dy), (x+dx)].
+// Kernels are written once for 3-D (nz, ny, nx) row-major grids with
+// (dz, dy, dx) coordinates; 2-D calls route through them with nz=1.
+// A band's value at grid point p multiplies x[p + coord].
 
 #include <cstdint>
 #include <cstring>
@@ -20,169 +19,6 @@
 #ifdef _OPENMP
 #include <omp.h>
 #endif
-
-namespace {
-
-using Coord = std::pair<int32_t, int32_t>;
-
-template <typename T>
-int band_matmul_2d_impl(int ny, int nx,
-                        int ka, const int32_t* ca, const T* A,
-                        int kb, const int32_t* cb, const T* B,
-                        int max_kc, int32_t* cc, T* C) {
-    const int64_t n = (int64_t)ny * nx;
-    std::map<Coord, int> out_idx;
-    // symbolic pass: assign output slots
-    for (int i = 0; i < ka; ++i)
-        for (int j = 0; j < kb; ++j) {
-            Coord c{ca[2 * i] + cb[2 * j], ca[2 * i + 1] + cb[2 * j + 1]};
-            if (!out_idx.count(c)) {
-                int idx = (int)out_idx.size();
-                if (idx >= max_kc) return -1;
-                out_idx[c] = idx;
-            }
-        }
-    const int kc = (int)out_idx.size();
-    for (auto& kv : out_idx) {
-        cc[2 * kv.second] = kv.first.first;
-        cc[2 * kv.second + 1] = kv.first.second;
-    }
-    std::memset(C, 0, sizeof(T) * (size_t)kc * n);
-
-    // numeric: C[c][y, x] += A[i][y, x] * B[j][y + dy_i, x + dx_i]
-    for (int i = 0; i < ka; ++i) {
-        const int dy = ca[2 * i], dx = ca[2 * i + 1];
-        const int y0 = dy >= 0 ? 0 : -dy;
-        const int y1 = dy >= 0 ? ny - dy : ny;
-        const int x0 = dx >= 0 ? 0 : -dx;
-        const int x1 = dx >= 0 ? nx - dx : nx;
-        if (y1 <= y0 || x1 <= x0) continue;
-        const T* __restrict__ Ai = A + (int64_t)i * n;
-        for (int j = 0; j < kb; ++j) {
-            Coord c{dy + cb[2 * j], dx + cb[2 * j + 1]};
-            T* __restrict__ Cc = C + (int64_t)out_idx[c] * n;
-            const T* __restrict__ Bj = B + (int64_t)j * n;
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static)
-#endif
-            for (int y = y0; y < y1; ++y) {
-                const T* __restrict__ a = Ai + (int64_t)y * nx;
-                const T* __restrict__ b = Bj + (int64_t)(y + dy) * nx + dx;
-                T* __restrict__ out = Cc + (int64_t)y * nx;
-#ifdef _OPENMP
-#pragma omp simd
-#endif
-                for (int x = x0; x < x1; ++x)
-                    out[x] += a[x] * b[x];
-            }
-        }
-    }
-    return kc;
-}
-
-template <typename T>
-int pair_rap_2d_impl(int ny, int nx, int k, const int32_t* cf, const T* F,
-                     int ax, int s, int max_kc, int32_t* cc, T* C) {
-    // coarse dims
-    const int dyc = ax == 0 ? (ny + s - 1) / s : ny;
-    const int dxc = ax == 1 ? (nx + s - 1) / s : nx;
-    const int64_t nc = (int64_t)dyc * dxc;
-    const int64_t n = (int64_t)ny * nx;
-    std::map<Coord, int> out_idx;
-    for (int i = 0; i < k; ++i) {
-        const int comp = ax == 0 ? cf[2 * i] : cf[2 * i + 1];
-        for (int a = 0; a < s; ++a) {
-            int bb = ((comp + a) % s + s) % s;
-            int oc = (comp + a - bb) / s;
-            Coord c{ax == 0 ? oc : cf[2 * i],
-                    ax == 1 ? oc : cf[2 * i + 1]};
-            if (!out_idx.count(c)) {
-                int idx = (int)out_idx.size();
-                if (idx >= max_kc) return -1;
-                out_idx[c] = idx;
-            }
-        }
-    }
-    const int kc = (int)out_idx.size();
-    for (auto& kv : out_idx) {
-        cc[2 * kv.second] = kv.first.first;
-        cc[2 * kv.second + 1] = kv.first.second;
-    }
-    std::memset(C, 0, sizeof(T) * (size_t)kc * nc);
-
-    for (int i = 0; i < k; ++i) {
-        const int comp = ax == 0 ? cf[2 * i] : cf[2 * i + 1];
-        const T* Fi = F + (int64_t)i * n;
-        for (int a = 0; a < s; ++a) {
-            int bb = ((comp + a) % s + s) % s;
-            int oc = (comp + a - bb) / s;
-            Coord c{ax == 0 ? oc : cf[2 * i],
-                    ax == 1 ? oc : cf[2 * i + 1]};
-            T* Cc = C + (int64_t)out_idx[c] * nc;
-            if (ax == 0) {
-                // dest[J, x] += F[s*J + a, x]
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static)
-#endif
-                for (int J = 0; J < dyc; ++J) {
-                    const int y = s * J + a;
-                    if (y >= ny) continue;
-                    const T* src = Fi + (int64_t)y * nx;
-                    T* dst = Cc + (int64_t)J * dxc;
-                    for (int x = 0; x < nx; ++x) dst[x] += src[x];
-                }
-            } else {
-                // dest[y, X] += F[y, s*X + a]
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static)
-#endif
-                for (int y = 0; y < ny; ++y) {
-                    const T* src = Fi + (int64_t)y * nx;
-                    T* dst = Cc + (int64_t)y * dxc;
-                    for (int X = 0; X < dxc; ++X) {
-                        const int x = s * X + a;
-                        if (x < nx) dst[X] += src[x];
-                    }
-                }
-            }
-        }
-    }
-    return kc;
-}
-
-}  // namespace
-
-extern "C" {
-
-int fasp_band_matmul_2d_f64(int ny, int nx, int ka, const int32_t* ca,
-                            const double* A, int kb, const int32_t* cb,
-                            const double* B, int max_kc, int32_t* cc,
-                            double* C) {
-    return band_matmul_2d_impl<double>(ny, nx, ka, ca, A, kb, cb, B,
-                                       max_kc, cc, C);
-}
-
-int fasp_band_matmul_2d_f32(int ny, int nx, int ka, const int32_t* ca,
-                            const float* A, int kb, const int32_t* cb,
-                            const float* B, int max_kc, int32_t* cc,
-                            float* C) {
-    return band_matmul_2d_impl<float>(ny, nx, ka, ca, A, kb, cb, B,
-                                      max_kc, cc, C);
-}
-
-int fasp_pair_rap_2d_f64(int ny, int nx, int k, const int32_t* cf,
-                         const double* F, int ax, int s, int max_kc,
-                         int32_t* cc, double* C) {
-    return pair_rap_2d_impl<double>(ny, nx, k, cf, F, ax, s, max_kc, cc, C);
-}
-
-int fasp_pair_rap_2d_f32(int ny, int nx, int k, const int32_t* cf,
-                         const float* F, int ax, int s, int max_kc,
-                         int32_t* cc, float* C) {
-    return pair_rap_2d_impl<float>(ny, nx, k, cf, F, ax, s, max_kc, cc, C);
-}
-
-}  // extern "C"
 
 // ---------------------------------------------------------------------------
 // 3-D variants: coords are (dz, dy, dx); bands are (nz, ny, nx) row-major.

@@ -218,8 +218,8 @@ class BandMatrix:
 
         Fused slice form: the product is accumulated only on the index
         range where the shift is in-bounds — no shifted temporary, one
-        pass per band pair.  2-D grids route to the native OpenMP kernel
-        (band_ops.cpp) when available.
+        pass per band pair.  2-D and 3-D grids route to the native OpenMP
+        kernels (band_ops.cpp) when available.
         """
         if len(self.dims) in (2, 3) and self.bands and other.bands:
             from ... import native
@@ -267,7 +267,8 @@ class BandMatrix:
         along axis ``ax`` (aggregates {sJ..sJ+s-1}), directly in band
         space: a fine entry at rows sJ+a with axis-offset component c lands
         on coarse offset oc = (c + a - b)/s where b = (c + a) mod s.
-        2-D grids route to the native OpenMP kernel when available."""
+        2-D and 3-D grids route to the native OpenMP kernels when
+        available."""
         if len(self.dims) in (2, 3) and self.bands:
             from ... import native
             cf, stack = self._stack()

@@ -59,6 +59,24 @@ def test_band_matrix_roundtrip_and_rap():
             np.testing.assert_allclose(got, ref, atol=1e-12)
 
 
+def test_band_matrix_rap_3d():
+    """3-D band pair_rap must equal scipy P^T A P on every axis/factor —
+    catches native-kernel indexing bugs the AMG convergence tests mask."""
+    A = poisson_3d(6, 5, 4)
+    B = BandMatrix.from_csr(A, (4, 5, 6))
+    m = A.to_scipy()
+    np.testing.assert_allclose(B.matmul(B).to_dense(), (m @ m).toarray(),
+                               atol=1e-10)
+    for ax in (0, 1, 2):
+        for s in (2, 3):
+            agg, nagg = pair_agg_map((4, 5, 6), ax, s)
+            P = sp.csr_matrix((np.ones(A.nrow), (np.arange(A.nrow), agg)),
+                              shape=(A.nrow, nagg))
+            ref = (P.T @ m @ P).toarray()
+            np.testing.assert_allclose(B.pair_rap(ax, s).to_dense(), ref,
+                                       atol=1e-12)
+
+
 def test_band_matmul_and_transpose():
     A = poisson_2d(8)
     B = BandMatrix.from_csr(A, (8, 8))
