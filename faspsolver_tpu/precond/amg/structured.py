@@ -178,19 +178,24 @@ def pair_agg_map(dims: Tuple[int, ...], ax: int, s: int = 2
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class SmoothedProlong:
-    """SA prolongation P = (I - w D^-1 A) P_tent as a DIA-op + reshape
-    composition — still zero gathers (reference: amg_setup_smoothP_smoothR,
-    PreAMGSetupSA.c)."""
+    """SA prolongation P = (I - w D^-1 A) P_tent as an operator
+    composition over the level's own A — still zero gathers, and no extra
+    band arrays to store or transfer (reference:
+    amg_setup_smoothP_smoothR, PreAMGSetupSA.c)."""
 
-    smoother_op: DiaOperator            # (I - w D^-1 A)
+    A: DiaOperator                      # the level operator (shared)
+    dinv: jax.Array
     base: PairProlong
+    omega: float = dataclasses.field(metadata=dict(static=True),
+                                     default=0.67)
 
     @property
     def shape(self) -> Tuple[int, int]:
         return self.base.shape
 
     def __call__(self, xc):
-        return self.smoother_op(self.base(xc))
+        v = self.base(xc)
+        return v - self.omega * (self.dinv * self.A(v))
 
 
 @jax.tree_util.register_dataclass
@@ -198,15 +203,18 @@ class SmoothedProlong:
 class SmoothedRestrict:
     """R = P^T = P_tent^T (I - w A D^-1) (A symmetric)."""
 
-    smoother_op: DiaOperator            # (I - w A D^-1)
+    A: DiaOperator
+    dinv: jax.Array
     base: PairRestrict
+    omega: float = dataclasses.field(metadata=dict(static=True),
+                                     default=0.67)
 
     @property
     def shape(self) -> Tuple[int, int]:
         return self.base.shape
 
     def __call__(self, r):
-        return self.base(self.smoother_op(r))
+        return self.base(r - self.omega * self.A(self.dinv * r))
 
 
 # ---------------------------------------------------------------------------
@@ -275,10 +283,21 @@ def _freeze_device(tree, dtype):
     from functools import partial
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    np_dtype = np.dtype(dtype)
-    arrs = [np.asarray(l, dtype=np_dtype) for l in leaves]
-    if not arrs:
+    if not leaves:
         return tree
+    np_dtype = np.dtype(dtype)
+    # dedup leaves shared by identity (e.g. a level operator's bands also
+    # referenced by its smoothed transfers): upload once, reuse the device
+    # array everywhere
+    slot_of: dict = {}
+    arrs = []
+    leaf_slot = []
+    for l in leaves:
+        key = id(l)
+        if key not in slot_of:
+            slot_of[key] = len(arrs)
+            arrs.append(np.asarray(l, dtype=np_dtype))
+        leaf_slot.append(slot_of[key])
     layout = []
     off = 0
     for a in arrs:
@@ -293,7 +312,8 @@ def _freeze_device(tree, dtype):
             for o, s, shp in layout)
 
     dev = split(big, tuple(layout))
-    return jax.tree_util.tree_unflatten(treedef, list(dev))
+    return jax.tree_util.tree_unflatten(treedef,
+                                        [dev[s] for s in leaf_slot])
 
 
 def _band_smoother(B, param, dtype) -> SmootherData:
@@ -383,6 +403,7 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
 
     band_levels: List[BandMatrix] = [B0]
     transfers: List[Tuple[object, object]] = []
+    level_ops: List[DiaOperator] = []       # shared with the transfers
 
     # aggregate size per axis: 3 for smoothed-P (classic SA 3^ndim
     # aggregates — keeps the coarse stencil a 3^ndim fixed point; size-2
@@ -406,21 +427,24 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
         base_P = PairProlong(tuple(steps), cur.n, int(np.prod(cdims)))
         base_R = PairRestrict(tuple(steps), cur.n, int(np.prod(cdims)))
 
+        offs_l, flat_l = cur.flat_offsets()
+        op_l = DiaOperator(flat_l, tuple(int(o) for o in offs_l), cur.n)
+        level_ops.append(op_l)
+
         if smooth_p:
             # P = S P_tent with S = I - w D^-1 A  =>
-            # Ac = P_tent^T (S^T A S) P_tent, all in band space
+            # Ac = P_tent^T (S^T A S) P_tent, all in band space.  On device
+            # the smoothed transfers COMPOSE with the level's own A (shared
+            # arrays — nothing extra to store or upload).
             omega = param.tentative_smooth
             d = cur.diagonal()
             dinv = (1.0 / np.where(d != 0.0, d, 1.0)).astype(cur.dtype())
             S = cur.scale_rows(dinv).scaled(-omega).add_identity()
             ST = cur.scale_cols(dinv).scaled(-omega).add_identity()
             inner = ST.matmul(cur.matmul(S))
-            offs_s, Sb = S.flat_offsets()
-            offs_st, STb = ST.flat_offsets()
-            S_op = DiaOperator(Sb, tuple(int(o) for o in offs_s), cur.n)
-            ST_op = DiaOperator(STb, tuple(int(o) for o in offs_st), cur.n)
-            transfers.append((SmoothedProlong(S_op, base_P),
-                              SmoothedRestrict(ST_op, base_R)))
+            transfers.append((
+                SmoothedProlong(op_l, dinv, base_P, float(omega)),
+                SmoothedRestrict(op_l, dinv, base_R, float(omega))))
         else:
             inner = cur
             transfers.append((base_P, base_R))
@@ -439,11 +463,9 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
     for l, Bl in enumerate(band_levels):
         if l == nlvl - 1:
             break
-        offs_l, flat_l = Bl.flat_offsets()
-        op = DiaOperator(flat_l, tuple(int(o) for o in offs_l), Bl.n)
         sm = _band_smoother(Bl, param, dtype)
         P, R = transfers[l]
-        levels.append(AMGLevel(A=op, P=P, R=R, smoother=sm))
+        levels.append(AMGLevel(A=level_ops[l], P=P, R=R, smoother=sm))
 
     # coarsest level: dense inverse on-device when small, DIA + Jacobi-CG
     # otherwise
