@@ -137,3 +137,30 @@ def test_zero_rhs(poisson_sys):
     res = pcg(op, jnp.zeros_like(b), tol=1e-10, maxit=100)
     assert int(res.iters) == 0     # initial residual already below tol
     assert np.allclose(np.asarray(res.x), 0.0)
+
+
+def test_solve_refined_mixed_precision():
+    """f32 inner solves under the f64 refinement loop must reach f64-level
+    residuals (the TPU performance mode, solvers/refine.py)."""
+    import jax.numpy as jnp
+    from faspsolver_tpu.krylov import pcg
+    from faspsolver_tpu.precond import AMGPrecond
+    from faspsolver_tpu.precond.amg import setup_structured
+    from faspsolver_tpu.solvers import solve_refined
+    from faspsolver_tpu.testgen import poisson_2d
+    from faspsolver_tpu.utils.params import AMGParam
+
+    A = poisson_2d(48)
+    b = A.matvec(np.ones(A.nrow))
+    hier = setup_structured(A, AMGParam(coarse_dof=60),
+                            dtype=jnp.float32, smooth_p=True)
+    M = AMGPrecond(hier)
+    op = hier.levels[0].A
+    res = solve_refined(A, b,
+                        lambda r, tol: pcg(op, r, M=M, tol=tol, maxit=40),
+                        tol=1e-10, dtype=jnp.float32)
+    assert res.converged
+    assert res.relres < 1e-10            # far below any single f32 solve
+    assert res.rounds >= 2
+    r = b - A.matvec(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
