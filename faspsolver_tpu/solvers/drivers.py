@@ -161,9 +161,13 @@ def krylov_amg(A, b, x0=None, its: Optional[ITSParam] = None,
 
     if isinstance(A, BSRMatrix):
         # BSR-native path: condensed-graph aggregation + block smoothers
-        # (reference: fasp_solver_dbsr_krylov_amg, SolBSR.c:349)
-        from ..precond.amg.setup_bsr import setup_ua_bsr
-        hier = setup_ua_bsr(A, amg)
+        # (reference: fasp_solver_dbsr_krylov_amg, SolBSR.c:349; SA twin
+        # fasp_amg_setup_sa_bsr by AMG_type)
+        from ..precond.amg.setup_bsr import setup_sa_bsr, setup_ua_bsr
+        if int(amg.AMG_type) == int(AMGType.SA):
+            hier = setup_sa_bsr(A, amg)
+        else:
+            hier = setup_ua_bsr(A, amg)
         op = device_operator(A)
     else:
         hier = _amg_setup_by_type(A, amg)
