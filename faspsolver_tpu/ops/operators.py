@@ -320,6 +320,31 @@ class DenseOperator:
         return cls(jnp.asarray(A.to_dense(), dtype=dtype), A.nrow)
 
 
+class _StaticFn:
+    """Identity-compared wrapper for static callables.
+
+    A static pytree field participates in jit-cache structure equality;
+    if the callable is itself an operator pytree holding jax arrays, that
+    comparison tries array equality and crashes.  Identity semantics make
+    each closure its own cache entry (a recompile per closure — correct
+    for matrix-free operators)."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, *args):
+        return self.fn(*args)
+
+    def __eq__(self, other):
+        return self is other or (isinstance(other, _StaticFn)
+                                 and other.fn is self.fn)
+
+    def __hash__(self):
+        return id(self.fn)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class MatFreeOperator:
@@ -329,6 +354,10 @@ class MatFreeOperator:
     fn: Callable = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
     _dtype: Any = dataclasses.field(metadata=dict(static=True))
+
+    def __post_init__(self):
+        if not isinstance(self.fn, _StaticFn):
+            object.__setattr__(self, "fn", _StaticFn(self.fn))
 
     @property
     def shape(self) -> Tuple[int, int]:

@@ -229,18 +229,22 @@ def mm_configs() -> List[Tuple[str, Callable]]:
 def matfree_configs() -> List[Tuple[str, Callable]]:
     """Solvers exercised through an opaque operator closure
     (reference: regression_mf.c via mxv_matfree) — the solver code cannot
-    see a matrix, only x -> Ax."""
+    see a matrix, only x -> Ax.  The preconditioner is a closure too
+    (diagonal here; nos7's ~4e9 conditioning needs it plus deep budgets,
+    as in the core matrix)."""
     def mk(name, solver, **kw):
         def run(A, b):
             op = device_operator(A, prefer="ell")
             mf = MatFreeOperator(fn=op, n=A.nrow, _dtype=op.dtype)
-            return solver(mf, jnp.asarray(b), tol=1e-12, maxit=2000, **kw)
+            M = JacobiPrecond.from_csr(A)
+            return solver(mf, jnp.asarray(b), M=M, tol=1e-13, maxit=4000,
+                          **kw)
         return (name, run)
     return [mk("matfree CG", pcg), mk("matfree BiCGstab", bicgstab),
             mk("matfree MinRes", minres),
-            mk("matfree GMRES", gmres, restart=30),
-            mk("matfree vFGMRES", vfgmres, restart=30),
-            mk("matfree GCG", gcg, restart=30)]
+            mk("matfree GMRES", gmres, restart=60),
+            mk("matfree vFGMRES", vfgmres, restart=60),
+            mk("matfree GCG", gcg, restart=60)]
 
 
 def run_matrix(configs, problems) -> List[RegResult]:
