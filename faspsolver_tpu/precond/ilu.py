@@ -235,13 +235,24 @@ class TriangularSolver:
 @dataclass(frozen=True)
 class ILUPrecond:
     """z = U^{-1} L^{-1} r via level-scheduled solves
-    (reference: fasp_precond_ilu, PreCSR.c:198)."""
+    (reference: fasp_precond_ilu, PreCSR.c:198).
+
+    For pivoted factorizations (ILUtp) the row/column permutations apply
+    around the solves: w[perm_r] = r; z = U^{-1} L^{-1} w; out = z[perm_c]
+    (verified against scipy's spilu.solve)."""
 
     Lsolve: TriangularSolver
     Usolve: TriangularSolver
+    perm_in: Optional[jax.Array] = None     # inverse row permutation
+    perm_out: Optional[jax.Array] = None    # column permutation
 
     def __call__(self, r: jax.Array) -> jax.Array:
-        return self.Usolve(self.Lsolve(r))
+        if self.perm_in is not None:
+            r = r[self.perm_in]
+        z = self.Usolve(self.Lsolve(r))
+        if self.perm_out is not None:
+            z = z[self.perm_out]
+        return z
 
 
 def setup_ilu(A: CSRMatrix, param: ILUParam = None, dtype=None) -> ILUPrecond:
@@ -260,7 +271,13 @@ def setup_ilu(A: CSRMatrix, param: ILUParam = None, dtype=None) -> ILUPrecond:
         else:   # no toolchain and too big for the python ILU(k): ILUt
             L, U = ilut_factor(A, param.ILU_droptol)
     elif t == ILUType.ILUTP:
-        L, U, _ = ilutp_factor(A, param.ILU_droptol, param.ILU_permtol)
+        L, U, (perm_r, perm_c) = ilutp_factor(A, param.ILU_droptol,
+                                              param.ILU_permtol)
+        return ILUPrecond(
+            Lsolve=TriangularSolver.from_sparse(L, lower=True, dtype=dtype),
+            Usolve=TriangularSolver.from_sparse(U, lower=False, dtype=dtype),
+            perm_in=jnp.asarray(np.argsort(perm_r).astype(np.int32)),
+            perm_out=jnp.asarray(perm_c.astype(np.int32)))
     else:
         out = native.ilut(A, param.ILU_lfil, param.ILU_droptol)
         if out is not None:

@@ -212,7 +212,9 @@ def mm_problems(datadir: str = REFDATA):
 
 
 def mm_configs() -> List[Tuple[str, Callable]]:
-    """Robust nonsymmetric set: GMRES/BiCGstab + ILU/diag."""
+    """Robust nonsymmetric set: GMRES/BiCGstab + ILUt, plus pivoted ILUtp
+    (which solves driven-cavity/transport problems where unpivoted ILU
+    breaks down — e05r0500, gre__115)."""
     return [
         _krylov_config("vGMRES + ILUt", vgmres, _ilu_precond(
             ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), restart=40,
@@ -223,6 +225,9 @@ def mm_configs() -> List[Tuple[str, Callable]]:
         _krylov_config("BiCGstab + ILUt", bicgstab, _ilu_precond(
             ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), maxit=2000,
             tol=1e-10),
+        _krylov_config("vGMRES + ILUtp", vgmres, _ilu_precond(
+            ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4), restart=60,
+            maxit=2000, tol=1e-12),
     ]
 
 

@@ -227,3 +227,22 @@ def test_capi_flat_arrays():
     x2, _, _ = capi.dcsr_krylov_ilu(A.nrow, A.indptr, A.indices, A.data, b,
                                     tol=1e-10, maxit=300)
     assert np.abs(x2 - xex).max() < 1e-8
+
+
+def test_ilutp_pivoted_preconditioner(refdata):
+    """Pivoted ILU must solve the driven-cavity problem where unpivoted
+    ILU factorizations break down (perm handling verified against
+    scipy.spilu.solve)."""
+    from faspsolver_tpu.io import read_mtx
+    from faspsolver_tpu.utils.params import ILUParam
+    from faspsolver_tpu.constants import ILUType
+    rng = np.random.default_rng(17)
+    A = read_mtx(f"{refdata}/e05r0500.mtx")
+    sol = rng.standard_normal(A.nrow)
+    b = A.matvec(sol)
+    r = solvers.krylov_ilu(
+        A, b, its=ITSParam(itsolver_type=int(SolverType.VGMRES),
+                           tol=1e-12, maxit=500, restart=60),
+        ilu=ILUParam(ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4))
+    assert bool(r.converged)
+    assert np.abs(np.asarray(r.x) - sol).max() < 1e-6
