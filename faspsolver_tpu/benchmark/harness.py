@@ -77,16 +77,18 @@ def score_problem(name: str, A, b, solver: Callable, lmvu: float
 
 
 def _solver_factory(kind: str):
-    from ..constants import SolverType
+    from ..constants import ILUType, SolverType
     from ..solvers import krylov, krylov_amg, krylov_ilu
-    from ..utils.params import ITSParam
+    from ..utils.params import ILUParam, ITSParam
 
     its = ITSParam(itsolver_type=int(SolverType.VGMRES), tol=1e-8,
-                   maxit=2000, restart=30)
+                   maxit=2000, restart=60)
     if kind == "amg":
         return lambda A, b: krylov_amg(A, b, its=its)[0]
     if kind == "ilu":
-        return lambda A, b: krylov_ilu(A, b, its=its)
+        # pivoted ILU: the robust default for an arbitrary SuiteSparse mix
+        ilu = ILUParam(ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4)
+        return lambda A, b: krylov_ilu(A, b, its=its, ilu=ilu)
     cg_its = ITSParam(tol=1e-8, maxit=5000)
     return lambda A, b: krylov(A, b, its=cg_its)
 
