@@ -64,8 +64,17 @@ class BandMatrix:
         n = int(np.prod(dims))
         if A.nrow != n or A.ncol != n:
             return None
-        st = _strides(dims)
         offsets, flat = dia_bands_from_csr(A)
+        return cls.from_flat(offsets, flat, dims, max_c=max_c, dtype=dtype)
+
+    @classmethod
+    def from_flat(cls, offsets, flat, dims: Tuple[int, ...], max_c: int = 4,
+                  dtype=None) -> Optional["BandMatrix"]:
+        """Build from an already-extracted flat-diagonal representation
+        (offsets + row-aligned (k, n) bands) — callers that have run
+        dia_bands_from_csr for detection reuse it instead of re-extracting.
+        Same wrap validation as from_csr."""
+        st = _strides(dims)
         if dtype is not None:
             flat = flat.astype(np.dtype(dtype))
         out = cls(dims=tuple(dims))

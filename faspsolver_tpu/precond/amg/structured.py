@@ -385,16 +385,21 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
         from ...constants import AMGType
         smooth_p = int(param.AMG_type) == int(AMGType.SA)
 
-    if not dia_fill_ok(A):
+    # ONE flat-diagonal extraction serves the fill check, the structure
+    # detection, and the BandMatrix construction
+    if A.nrow != A.ncol or A.nnz == 0:
         return None
+    offsets0, flat0 = dia_bands_from_csr(A)
+    if (len(offsets0) > 36 or len(offsets0) * A.nrow > 3 * A.nnz):
+        return None          # DIA fill would be wasteful; general path
     if dims is None:
-        offsets0, _ = dia_bands_from_csr(A)
         dims = detect_dims(offsets0, A.nrow)
     if dims is None:
         return None
     # band pipeline runs in the target precision: conformance (f64) is
     # exact; performance mode (f32) halves the setup's memory traffic
-    B0 = BandMatrix.from_csr(A, tuple(dims), dtype=np.dtype(dtype))
+    B0 = BandMatrix.from_flat(offsets0, flat0, tuple(dims),
+                              dtype=np.dtype(dtype))
     if B0 is None:          # wrap entries / long-range couplings: the flat
         return None         # offsets lied about the structure — fall back
 
