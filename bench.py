@@ -61,8 +61,10 @@ def main() -> None:
     gen_s = time.perf_counter() - t0
 
     # ---- AMG setup (host band algebra -> one batched device freeze) ----
-    # best of 2 full setups: the dev VM's host CPU fluctuates up to ~15x
-    # on minute scales, which would otherwise dominate the measurement
+    # The HEADLINE uses the COLD (first) setup run — the reference baseline
+    # is a cold setup too (test/out/poisson-O2-th4.out pays no warm cache).
+    # A second run is recorded as setup_warm_s so cache effects are visible
+    # rather than silently flattering the number.
     param = AMGParam(smoother=int(SmootherType.CHEBYSHEV),
                      polynomial_degree=2, coarse_dof=800,
                      tentative_smooth=0.67)
@@ -75,7 +77,7 @@ def main() -> None:
         # force device materialization (readback = true sync here)
         float(jnp.sum(hier.levels[0].A.bands))
         setup_runs.append(time.perf_counter() - t0)
-    setup_s = min(setup_runs)
+    setup_s = setup_runs[0]
     op = hier.levels[0].A                       # fine DIA operator (f32)
     b = A.matvec(np.ones(A.nrow))
 
@@ -127,6 +129,7 @@ def main() -> None:
         "vs_baseline": round(REF_TOTAL_S / total_s, 3),
         "detail": {
             "setup_s": round(setup_s, 4),
+            "setup_warm_s": round(setup_runs[1], 4),
             "solve_s": round(solve_s, 4),
             "refine_rounds": res.rounds,
             "inner_iters": res.inner_iters,

@@ -183,6 +183,7 @@ ERROR_SOLVER_PRECTYPE = -41
 ERROR_SOLVER_STAG = -42
 ERROR_SOLVER_SOLSTAG = -43
 ERROR_SOLVER_TOLSMALL = -44
+ERROR_SOLVER_ILUSETUP = -45
 ERROR_SOLVER_MAXIT = -48
 ERROR_SOLVER_EXIT = -49
 ERROR_SOLVER_MISC = -50

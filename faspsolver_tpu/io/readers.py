@@ -248,24 +248,82 @@ def read_coovec_bin(matpath: str, rhspath: str = None, endian: str = "little"
     return A, b
 
 
+def _hb_fields(lines, nlines, fmt, count, conv):
+    """Read `count` fixed-width Fortran fields from `nlines` lines.
+
+    fmt is a Fortran edit descriptor like (16I5), (4E20.12), (1P5D16.8);
+    HB fields may be packed with no separating whitespace, so slicing by
+    the declared width is the only correct parse."""
+    import re
+    m = re.search(r"\(\s*(?:\d+\s*P\s*,?\s*)?(\d*)\s*([IEDFG])\s*(\d+)",
+                  fmt.upper())
+    if m is None:
+        raise FaspError(ERROR_WRONG_FILE, f"bad HB format '{fmt}'")
+    width = int(m.group(3))
+    out = []
+    for _ in range(nlines):
+        line = next(lines).rstrip("\n")
+        for i in range(0, len(line), width):
+            s = line[i:i + width].strip()
+            if s:
+                out.append(conv(s.replace("D", "E").replace("d", "e")))
+    if len(out) < count:
+        raise FaspError(ERROR_WRONG_FILE, "truncated HB data section")
+    return out[:count]
+
+
 def read_hb(path: str) -> Tuple[CSRMatrix, np.ndarray]:
     """Harwell-Boeing reader (reference: fasp_hb_read, BlaIO.c:2206, backed
-    by base/extra/hb_io).  Returns (A, rhs-or-None); symmetric patterns are
-    expanded."""
-    import scipy.io as _sio
-    try:
-        m = _sio.hb_read(path)
-    except Exception as e:
-        raise FaspError(ERROR_WRONG_FILE, f"bad HB file {path}: {e}")
-    m = m.tocsr()
-    # scipy stores only one triangle for symmetric HB types; expand
+    by base/extra/hb_io).  Returns (A, rhs-or-None).
+
+    Own fixed-format parser (scipy's hb_read rejects symmetric files).
+    Symmetric/Hermitian/skew storage (mxtype[1] in 'SHZ') keeps one
+    triangle on disk and is expanded here; general ('U'/'R') matrices —
+    including genuinely triangular ones — are left untouched, keyed on the
+    header's type flag exactly as the reference does (BlaIO.c:2340), never
+    on a triangularity heuristic."""
     import scipy.sparse as sp
-    lower = sp.tril(m, k=-1)
-    if lower.nnz == 0 and sp.triu(m, k=1).nnz > 0:
-        m = m + sp.triu(m, k=1).T
-    elif sp.triu(m, k=1).nnz == 0 and lower.nnz > 0:
-        m = m + lower.T
-    return CSRMatrix.from_scipy(m.tocsr()), None
+    with open(path, "r") as f:
+        lines = iter(f.readlines())
+    try:
+        next(lines)                                   # title/key
+        crd = next(lines)
+        totcrd = int(crd[0:14])                       # noqa: F841
+        ptrcrd = int(crd[14:28])
+        indcrd = int(crd[28:42])
+        valcrd = int(crd[42:56])
+        rhscrd = int(crd[56:70]) if len(crd.rstrip()) > 56 else 0
+        l3 = next(lines)
+        mxtype = l3[0:3].upper()
+        nrow = int(l3[14:28])
+        ncol = int(l3[28:42])
+        nnz = int(l3[42:56])
+        l4 = next(lines)
+        ptrfmt, indfmt = l4[0:16], l4[16:32]
+        valfmt = l4[32:52]
+        rhsfmt = l4[52:72] if len(l4.rstrip()) > 52 else ""
+        if rhscrd > 0:
+            next(lines)                               # RHSTYP line
+        colptr = np.array(_hb_fields(lines, ptrcrd, ptrfmt, ncol + 1, int),
+                          dtype=np.int64) - 1
+        rowind = np.array(_hb_fields(lines, indcrd, indfmt, nnz, int),
+                          dtype=np.int64) - 1
+        if mxtype[0] == "P" or valcrd == 0:           # pattern-only
+            vals = np.ones(nnz)
+        else:
+            vals = np.array(_hb_fields(lines, valcrd, valfmt, nnz, float))
+        rhs = None
+        if rhscrd > 0:
+            rhs = np.array(_hb_fields(lines, rhscrd, rhsfmt, nrow, float))
+    except (StopIteration, ValueError) as e:
+        raise FaspError(ERROR_WRONG_FILE, f"bad HB file {path}: {e}")
+    m = sp.csc_matrix((vals, rowind, colptr), shape=(nrow, ncol)).tocsr()
+    sym_flag = mxtype[1] if len(mxtype) >= 2 else "U"
+    if sym_flag in ("S", "H", "Z"):
+        off = sp.triu(m, k=1) + sp.tril(m, k=-1)   # stored off-diag triangle
+        sign = -1.0 if sym_flag == "Z" else 1.0
+        m = m + sign * off.T
+    return CSRMatrix.from_scipy(m.tocsr()), rhs
 
 
 def read_mesh(path: str):

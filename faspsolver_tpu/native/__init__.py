@@ -98,6 +98,12 @@ def _load() -> Optional[ctypes.CDLL]:
                            ctypes.c_int, _i32p, fp,
                            ctypes.c_int, ctypes.c_int,
                            ctypes.c_int, _i32p, fp]
+            ct = ctypes.c_float if suf == "f32" else ctypes.c_double
+            sr = getattr(lib, f"fasp_smoothed_rap_3d_{suf}")
+            sr.restype = ctypes.c_int
+            sr.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                           ctypes.c_int, _i32p, fp, fp, ct,
+                           ctypes.c_int, ctypes.c_int, _i32p, fp]
         _lib = lib
         return _lib
 
@@ -273,6 +279,71 @@ def pair_rap_3d(dims, coords, bands, ax: int, s: int):
     if kc < 0:
         return None
     return cc[:kc], C[:kc], tuple(cdims)
+
+
+def smoothed_rap(dims, coords, bands, dinv, omega: float, s: int):
+    """Fused coarse Galerkin product over an nd grid (2-D / 3-D):
+    Ac = P^T (I - w A D^-1) A (I - w D^-1 A) P with P the boolean s-per-axis
+    grouping aggregation over every axis of extent > 1 (w = 0: plain UA
+    RAP).  bands: (k, *dims); coords: (k, nd) int32; dinv: grid array.
+    Returns (coarse_coords, coarse_bands (kc, *cdims), cdims) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    nd = len(dims)
+    if nd == 2:
+        ny, nx = dims
+        nz = 1
+        k = len(coords)
+        cf = np.zeros((k, 3), dtype=np.int32)
+        cf[:, 1:] = coords
+        bands = bands.reshape(k, 1, ny, nx)
+    elif nd == 3:
+        nz, ny, nx = dims
+        cf = np.ascontiguousarray(coords, dtype=np.int32)
+    else:
+        return None
+    k = len(cf)
+    dtype = bands.dtype
+    if dtype not in (np.float32, np.float64):
+        return None
+    # symbolic bound on the coarse band count: coords of M = A + A2 + A3
+    # phase-divided by s — mirror of the C++ symbolic pass
+    acc = {tuple(int(v) for v in c) for c in cf}
+    if float(omega) != 0.0:
+        a2 = {tuple(x + y for x, y in zip(c1, c2)) for c1 in acc for c2 in acc}
+        a3 = {tuple(x + y for x, y in zip(c1, c2)) for c1 in a2 for c2 in acc}
+        mset = acc | a2 | a3
+    else:
+        mset = acc
+    grp = [d > 1 for d in (nz, ny, nx)]
+    uniq = set()
+    for m in mset:
+        for az in range(s if grp[0] else 1):
+            for ay in range(s if grp[1] else 1):
+                for ax in range(s if grp[2] else 1):
+                    uniq.add(tuple(
+                        (c + a) // s if g else c
+                        for c, a, g in zip(m, (az, ay, ax), grp)))
+    max_kc = len(uniq)
+    fn = (lib.fasp_smoothed_rap_3d_f32 if dtype == np.float32
+          else lib.fasp_smoothed_rap_3d_f64)
+    cdims3 = [nz, ny, nx]
+    for d in range(3):
+        if grp[d]:
+            cdims3[d] = (cdims3[d] + s - 1) // s
+    F = np.ascontiguousarray(bands)
+    dv = np.ascontiguousarray(dinv.reshape(-1), dtype=dtype)
+    cc = np.empty((max_kc, 3), dtype=np.int32)
+    C = np.empty((max_kc, cdims3[0], cdims3[1], cdims3[2]), dtype=dtype)
+    kc = fn(nz, ny, nx, k, cf, F, dv, dtype.type(omega), int(s),
+            max_kc, cc, C)
+    if kc < 0:
+        return None
+    if nd == 2:
+        return (cc[:kc, 1:], C[:kc].reshape(kc, cdims3[1], cdims3[2]),
+                tuple(cdims3[1:]))
+    return cc[:kc], C[:kc], tuple(cdims3)
 
 
 def band_matmul_2d(dims, coords_a, bands_a, coords_b, bands_b):

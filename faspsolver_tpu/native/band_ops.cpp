@@ -10,7 +10,9 @@
 // (dz, dy, dx) coordinates; 2-D calls route through them with nz=1.
 // A band's value at grid point p multiplies x[p + coord].
 
+#include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <utility>
@@ -167,6 +169,298 @@ int pair_rap_3d_impl(int nz, int ny, int nx, int k, const int32_t* cf,
 }
 
 }  // namespace
+
+// ---------------------------------------------------------------------------
+// Fused smoothed Galerkin coarsening:
+//   Ac = P_tent^T (I - w A D^-1) A (I - w D^-1 A) P_tent
+// with P_tent the boolean s-per-axis grouping aggregation (every axis with
+// extent > 1), computed in ONE tiled pass so the 25..63-band fine-grid
+// intermediate M = A - 2wB + w^2 C (B = A D^-1 A, C = B D^-1 A) never
+// touches main memory.  w = 0 degenerates to the plain UA pair-RAP.
+// This is the whole per-level body of the structured AMG setup
+// (reference analog: fasp_blas_dcsr_rap, BlaSpmvCSR.c:999, fused with the
+// boolean-P fast path rap_agg, :1276).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T>
+int smoothed_rap_3d_impl(int nz, int ny, int nx, int k, const int32_t* cA,
+                         const T* A, const T* dinv, T omega, int s,
+                         int max_kc, int32_t* cc, T* C) {
+    const int64_t sy = nx, sz = (int64_t)ny * nx;
+    const int dims[3] = {nz, ny, nx};
+    const bool grp[3] = {nz > 1, ny > 1, nx > 1};
+    const int sv[3] = {grp[0] ? s : 1, grp[1] ? s : 1, grp[2] ? s : 1};
+    int cdims[3];
+    for (int d = 0; d < 3; ++d)
+        cdims[d] = grp[d] ? (dims[d] + s - 1) / s : dims[d];
+    const int64_t ncy = cdims[2], ncz = (int64_t)cdims[1] * cdims[2];
+    const int64_t ncoarse = (int64_t)cdims[0] * ncz;
+
+    const bool smooth = omega != (T)0;
+
+    // ---- symbolic: B coords (pair sums), M coords (A ∪ B ∪ triple) ----
+    std::vector<Coord3> acoords(k);
+    for (int i = 0; i < k; ++i)
+        acoords[i] = Coord3{cA[3 * i], cA[3 * i + 1], cA[3 * i + 2]};
+    std::map<Coord3, int> bidx;
+    if (smooth)
+        for (int i = 0; i < k; ++i)
+            for (int j = 0; j < k; ++j) {
+                Coord3 c{acoords[i].z + acoords[j].z,
+                         acoords[i].y + acoords[j].y,
+                         acoords[i].x + acoords[j].x};
+                if (!bidx.count(c)) {
+                    int idx = (int)bidx.size();
+                    bidx[c] = idx;
+                }
+            }
+    std::map<Coord3, int> midx;
+    for (int i = 0; i < k; ++i)
+        if (!midx.count(acoords[i])) {
+            int idx = (int)midx.size();
+            midx[acoords[i]] = idx;
+        }
+    if (smooth)
+        for (auto& kv : bidx) {
+            if (!midx.count(kv.first)) {
+                int idx = (int)midx.size();
+                midx[kv.first] = idx;
+            }
+            for (int j = 0; j < k; ++j) {
+                Coord3 c{kv.first.z + acoords[j].z, kv.first.y + acoords[j].y,
+                         kv.first.x + acoords[j].x};
+                if (!midx.count(c)) {
+                    int idx = (int)midx.size();
+                    midx[c] = idx;
+                }
+            }
+        }
+    const int kb = (int)bidx.size();
+    const int km = (int)midx.size();
+    std::vector<Coord3> bco(kb), mco(km);
+    for (auto& kv : bidx) bco[kv.second] = kv.first;
+    for (auto& kv : midx) mco[kv.second] = kv.first;
+
+    // coarse coords: every (m, phase) pair maps to floor((m+a)/s) per
+    // grouped axis; build slot table [km][s][s][s] -> coarse band index
+    std::map<Coord3, int> cidx;
+    std::vector<int> slot((size_t)km * s * s * s, -1);
+    auto fdiv = [](int a, int b) {
+        return a >= 0 ? a / b : -(((-a) + b - 1) / b);
+    };
+    for (int m = 0; m < km; ++m)
+        for (int az = 0; az < sv[0]; ++az)
+            for (int ay = 0; ay < sv[1]; ++ay)
+                for (int ax = 0; ax < sv[2]; ++ax) {
+                    Coord3 oc{grp[0] ? fdiv(mco[m].z + az, s) : mco[m].z,
+                              grp[1] ? fdiv(mco[m].y + ay, s) : mco[m].y,
+                              grp[2] ? fdiv(mco[m].x + ax, s) : mco[m].x};
+                    auto it = cidx.find(oc);
+                    int idx;
+                    if (it == cidx.end()) {
+                        idx = (int)cidx.size();
+                        if (idx >= max_kc) return -1;
+                        cidx[oc] = idx;
+                    } else {
+                        idx = it->second;
+                    }
+                    slot[(((size_t)m * s + az) * s + ay) * s + ax] = idx;
+                }
+    const int kc = (int)cidx.size();
+    for (auto& kv : cidx) {
+        cc[3 * kv.second] = kv.first.z;
+        cc[3 * kv.second + 1] = kv.first.y;
+        cc[3 * kv.second + 2] = kv.first.x;
+    }
+    std::memset(C, 0, sizeof(T) * (size_t)kc * ncoarse);
+
+    // halo of the B stencil in z/y (B rows needed at p + cb for stage C)
+    int hbz = 0, hby = 0;
+    for (auto& c : bco) {
+        if (std::abs(c.z) > hbz) hbz = std::abs(c.z);
+        if (std::abs(c.y) > hby) hby = std::abs(c.y);
+    }
+    // tile: sv[0] planes in z × sv[1] rows in y (one coarse (Z,Y) row set)
+    const int tz = sv[0], ty = sv[1];
+    const int bz = tz + 2 * hbz, by = ty + 2 * hby;   // B buffer extent
+    const int ntz = (nz + tz - 1) / tz, nty = (ny + ty - 1) / ty;
+    const int64_t ntiles = (int64_t)ntz * nty;
+
+    const T w2 = omega * omega, w2n = -2 * omega;
+
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<T> Bbuf(smooth ? (size_t)kb * bz * by * nx : 0);
+        std::vector<T> Mrow((size_t)km * nx);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+        for (int64_t tile = 0; tile < ntiles; ++tile) {
+            const int z0 = (int)(tile / nty) * tz;
+            const int y0 = (int)(tile % nty) * ty;
+            const int z1 = std::min(z0 + tz, nz), y1 = std::min(y0 + ty, ny);
+
+            if (smooth) {
+                // ---- stage B: B = (A D^-1) A on tile + halo rows ----
+                std::fill(Bbuf.begin(), Bbuf.end(), (T)0);
+                for (int z = std::max(0, z0 - hbz);
+                     z < std::min(nz, z1 + hbz); ++z)
+                    for (int y = std::max(0, y0 - hby);
+                         y < std::min(ny, y1 + hby); ++y) {
+                        const int64_t r = (int64_t)z * sz + (int64_t)y * sy;
+                        for (int i = 0; i < k; ++i) {
+                            const Coord3 c1 = acoords[i];
+                            const int zq = z + c1.z, yq = y + c1.y;
+                            if (zq < 0 || zq >= nz || yq < 0 || yq >= ny)
+                                continue;
+                            const int64_t shift =
+                                (int64_t)c1.z * sz + (int64_t)c1.y * sy + c1.x;
+                            const T* __restrict__ Ai = A + (int64_t)i * ((int64_t)nz * sz) + r;
+                            const T* __restrict__ dv = dinv + r + shift;
+                            const int x0c = std::max(0, -c1.x);
+                            const int x1c = nx - std::max(0, c1.x);
+                            for (int j = 0; j < k; ++j) {
+                                Coord3 cb{c1.z + acoords[j].z,
+                                          c1.y + acoords[j].y,
+                                          c1.x + acoords[j].x};
+                                const T* __restrict__ Aj =
+                                    A + (int64_t)j * ((int64_t)nz * sz) + r + shift;
+                                T* __restrict__ out =
+                                    Bbuf.data() +
+                                    ((size_t)bidx[cb] * bz + (z - (z0 - hbz))) *
+                                        ((size_t)by * nx) +
+                                    (size_t)(y - (y0 - hby)) * nx;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                                for (int x = x0c; x < x1c; ++x)
+                                    out[x] += Ai[x] * dv[x] * Aj[x];
+                            }
+                        }
+                    }
+            }
+
+            // ---- stage M + accumulate into coarse ----
+            for (int z = z0; z < z1; ++z) {
+                const int az = grp[0] ? z % s : 0;
+                const int Z = grp[0] ? z / s : z;
+                for (int y = y0; y < y1; ++y) {
+                    const int ay = grp[1] ? y % s : 0;
+                    const int Y = grp[1] ? y / s : y;
+                    const int64_t r = (int64_t)z * sz + (int64_t)y * sy;
+                    std::fill(Mrow.begin(), Mrow.end(), (T)0);
+                    // A term
+                    for (int i = 0; i < k; ++i) {
+                        const T* __restrict__ Ai =
+                            A + (int64_t)i * ((int64_t)nz * sz) + r;
+                        T* __restrict__ out =
+                            Mrow.data() + (size_t)midx[acoords[i]] * nx;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                        for (int x = 0; x < nx; ++x) out[x] += Ai[x];
+                    }
+                    if (smooth) {
+                        // -2w B term
+                        for (int bi = 0; bi < kb; ++bi) {
+                            const T* __restrict__ Bi =
+                                Bbuf.data() +
+                                ((size_t)bi * bz + (z - (z0 - hbz))) *
+                                    ((size_t)by * nx) +
+                                (size_t)(y - (y0 - hby)) * nx;
+                            T* __restrict__ out =
+                                Mrow.data() + (size_t)midx[bco[bi]] * nx;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                            for (int x = 0; x < nx; ++x)
+                                out[x] += w2n * Bi[x];
+                        }
+                        // +w^2 C term: C[m][p] = sum B[cb][p] dinv[p+cb] A[c2][p+cb]
+                        for (int bi = 0; bi < kb; ++bi) {
+                            const Coord3 cb = bco[bi];
+                            const int zq = z + cb.z, yq = y + cb.y;
+                            if (zq < 0 || zq >= nz || yq < 0 || yq >= ny)
+                                continue;
+                            const int64_t shift =
+                                (int64_t)cb.z * sz + (int64_t)cb.y * sy + cb.x;
+                            const T* __restrict__ Bi =
+                                Bbuf.data() +
+                                ((size_t)bi * bz + (z - (z0 - hbz))) *
+                                    ((size_t)by * nx) +
+                                (size_t)(y - (y0 - hby)) * nx;
+                            const T* __restrict__ dv = dinv + r + shift;
+                            const int x0c = std::max(0, -cb.x);
+                            const int x1c = nx - std::max(0, cb.x);
+                            for (int j = 0; j < k; ++j) {
+                                Coord3 m{cb.z + acoords[j].z,
+                                         cb.y + acoords[j].y,
+                                         cb.x + acoords[j].x};
+                                const T* __restrict__ Aj =
+                                    A + (int64_t)j * ((int64_t)nz * sz) + r + shift;
+                                T* __restrict__ out =
+                                    Mrow.data() + (size_t)midx[m] * nx;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                                for (int x = x0c; x < x1c; ++x)
+                                    out[x] += w2 * Bi[x] * dv[x] * Aj[x];
+                            }
+                        }
+                    }
+                    // scatter-accumulate into coarse bands: tiles own
+                    // disjoint coarse (Z, Y) rows, so no races
+                    for (int m = 0; m < km; ++m) {
+                        const T* __restrict__ Mv = Mrow.data() + (size_t)m * nx;
+                        const size_t base = (((size_t)m * s + az) * s + ay) * s;
+                        for (int ax = 0; ax < sv[2]; ++ax) {
+                            const int j = slot[base + ax];
+                            T* __restrict__ out =
+                                C + (int64_t)j * ncoarse + (int64_t)Z * ncz +
+                                (int64_t)Y * ncy;
+                            if (grp[2]) {
+                                for (int x = ax; x < nx; x += s)
+                                    out[x / s] += Mv[x];
+                            } else {
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                                for (int x = 0; x < nx; ++x) out[x] += Mv[x];
+                            }
+                        }
+                    }
+                }
+            }
+        }
+    }
+    return kc;
+}
+
+}  // namespace
+
+extern "C" {
+
+int fasp_smoothed_rap_3d_f64(int nz, int ny, int nx, int k,
+                             const int32_t* cA, const double* A,
+                             const double* dinv, double omega, int s,
+                             int max_kc, int32_t* cc, double* C) {
+    return smoothed_rap_3d_impl<double>(nz, ny, nx, k, cA, A, dinv, omega, s,
+                                        max_kc, cc, C);
+}
+
+int fasp_smoothed_rap_3d_f32(int nz, int ny, int nx, int k,
+                             const int32_t* cA, const float* A,
+                             const float* dinv, float omega, int s,
+                             int max_kc, int32_t* cc, float* C) {
+    return smoothed_rap_3d_impl<float>(nz, ny, nx, k, cA, A, dinv, omega, s,
+                                       max_kc, cc, C);
+}
+
+}  // extern "C"
 
 extern "C" {
 

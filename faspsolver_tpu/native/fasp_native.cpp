@@ -434,11 +434,27 @@ int fasp_rs_cf_split(int n, const int32_t* s_indptr, const int32_t* s_indices,
                 }
             }
         }
-        // nodes i depends on get less important
+        // nodes i depends on get less important; re-push so the lazy
+        // heap still holds a live (lambda, k) entry — stale-only entries
+        // would be skipped by the lam != lambda[i] check and the node
+        // could finish UNDECIDED
         for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
             int32_t k = s_indices[p];
-            if (cf[k] == UNDECIDED && lambda[k] > 0) --lambda[k];
+            if (cf[k] == UNDECIDED && lambda[k] > 0) {
+                --lambda[k];
+                heap.push({lambda[k], k});
+            }
         }
+    }
+    // safety net: any node never reached through the worklist becomes F
+    // when it strongly depends on a C point, C otherwise (mirrors the
+    // reference's final sweep in cfsplitting_cls)
+    for (int i = 0; i < n; ++i) {
+        if (cf[i] != UNDECIDED) continue;
+        cf[i] = 1;
+        for (int32_t q = s_indptr[i]; q < s_indptr[i + 1]; ++q)
+            if (cf[s_indices[q]] == 1) { cf[i] = 0; break; }
+        if (cf[i] == 1) ++nc;
     }
     return nc;
 }

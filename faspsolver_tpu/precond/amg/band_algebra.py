@@ -109,13 +109,24 @@ class BandMatrix:
     # -- exports -----------------------------------------------------------
 
     def flat_offsets(self) -> Tuple[np.ndarray, np.ndarray]:
-        """(offsets, row-aligned (k, n) band array) for DiaOperator."""
+        """(offsets, row-aligned (k, n) band array) for DiaOperator.
+
+        Distinct nd coords can collide on one flat offset (e.g. (1,-2,0)
+        and (0,3,0) on a 4x5x6 grid are both +18); per-axis validity
+        zeroing guarantees at most one colliding band is nonzero at any
+        position, so colliding bands are merged by summation — the flat
+        (DIA) interpretation stays exact and offsets come out unique."""
         st = _strides(self.dims)
-        items = sorted(self.bands.items(),
-                       key=lambda kv: sum(c * s for c, s in zip(kv[0], st)))
-        offsets = np.array([sum(c * s for c, s in zip(co, st))
-                            for co, _ in items], dtype=np.int64)
-        flat = np.stack([b.reshape(-1) for _, b in items])
+        merged: dict = {}
+        for co, b in self.bands.items():
+            o = sum(c * s for c, s in zip(co, st))
+            if o in merged:
+                merged[o] = merged[o] + b.reshape(-1)
+            else:
+                merged[o] = b.reshape(-1).copy()
+        items = sorted(merged.items())
+        offsets = np.array([o for o, _ in items], dtype=np.int64)
+        flat = np.stack([v for _, v in items])
         return offsets, flat
 
     def to_csr(self):
@@ -145,7 +156,7 @@ class BandMatrix:
         for k, o in enumerate(offsets):
             o = int(o)
             idx = np.arange(max(0, -o), min(n, n - o))
-            out[idx, idx + o] = flat[k, idx]
+            out[idx, idx + o] += flat[k, idx]
         return out
 
     def dtype(self):
@@ -314,6 +325,29 @@ class BandMatrix:
                 out[cc][tuple(dst)] += band[tuple(src)]
         out = {c: v for c, v in out.items() if np.any(v)}
         return BandMatrix(cdims, out)
+
+    def smoothed_rap_all_axes(self, dinv: Optional[np.ndarray],
+                              omega: float, s: int
+                              ) -> Optional["BandMatrix"]:
+        """Fused coarse Galerkin product
+        ``P^T (I - w A D^-1) A (I - w D^-1 A) P`` with P the boolean
+        s-per-axis grouping over every axis of extent > 1 (w=0: plain UA
+        RAP) — ONE native tiled pass, no full-size intermediates.
+        Returns None when the native kernel is unavailable (callers fall
+        back to matmul + pair_rap, which is algebraically identical)."""
+        if len(self.dims) not in (2, 3) or not self.bands:
+            return None
+        from ... import native
+        coords, stack = self._stack()
+        if dinv is None:
+            dinv = np.ones(self.n, dtype=stack.dtype)
+        out = native.smoothed_rap(self.dims, coords, stack,
+                                  dinv.astype(stack.dtype, copy=False),
+                                  float(omega), int(s))
+        if out is None:
+            return None
+        cc, C, cdims = out
+        return BandMatrix._from_stack(cdims, cc, C)
 
     def gershgorin_dinv_lambda(self) -> float:
         """Upper bound on lambda_max(D^-1 A): max_i dinv_i * sum_j |a_ij|."""

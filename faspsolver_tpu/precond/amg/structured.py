@@ -288,16 +288,22 @@ def _freeze_device(tree, dtype):
     np_dtype = np.dtype(dtype)
     # dedup leaves shared by identity (e.g. a level operator's bands also
     # referenced by its smoothed transfers): upload once, reuse the device
-    # array everywhere
+    # array everywhere.  Leaves already on device (eagerly frozen fine
+    # level, overlapping its transfer with coarse host setup) pass through.
     slot_of: dict = {}
     arrs = []
     leaf_slot = []
     for l in leaves:
+        if isinstance(l, jax.Array):
+            leaf_slot.append(l)
+            continue
         key = id(l)
         if key not in slot_of:
             slot_of[key] = len(arrs)
             arrs.append(np.asarray(l, dtype=np_dtype))
         leaf_slot.append(slot_of[key])
+    if not arrs:
+        return tree
     layout = []
     off = 0
     for a in arrs:
@@ -312,11 +318,12 @@ def _freeze_device(tree, dtype):
             for o, s, shp in layout)
 
     dev = split(big, tuple(layout))
-    return jax.tree_util.tree_unflatten(treedef,
-                                        [dev[s] for s in leaf_slot])
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [s if isinstance(s, jax.Array) else dev[s] for s in leaf_slot])
 
 
-def _band_smoother(B, param, dtype) -> SmootherData:
+def _band_smoother(B, param, dtype, dinv=None) -> SmootherData:
     """Gather-free smoother for a structured level (from a BandMatrix).
 
     JACOBI / L1DIAG map exactly; GS-family maps to exact red-black GS when
@@ -328,9 +335,9 @@ def _band_smoother(B, param, dtype) -> SmootherData:
     costs one vectorized pass).
     """
     kind = int(param.smoother)
-    d = B.diagonal()
-    dsafe = np.where(d != 0.0, d, 1.0)
-    dinv = 1.0 / dsafe          # host array; _freeze_device moves it later
+    if dinv is None:
+        d = B.diagonal()
+        dinv = 1.0 / np.where(d != 0.0, d, 1.0)   # host; frozen later
     if kind in (SmootherType.JACOBI, SmootherType.JACOBIF):
         return SmootherData(kind=int(SmootherType.JACOBI),
                             relax=float(param.relaxation), nsweep_scale=1,
@@ -407,8 +414,7 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
     coarse_dof = max(param.coarse_dof, 32)
 
     band_levels: List[BandMatrix] = [B0]
-    transfers: List[Tuple[object, object]] = []
-    level_ops: List[DiaOperator] = []       # shared with the transfers
+    levels: List[AMGLevel] = []
 
     # aggregate size per axis: 3 for smoothed-P (classic SA 3^ndim
     # aggregates — keeps the coarse stencil a 3^ndim fixed point; size-2
@@ -434,7 +440,10 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
 
         offs_l, flat_l = cur.flat_offsets()
         op_l = DiaOperator(flat_l, tuple(int(o) for o in offs_l), cur.n)
-        level_ops.append(op_l)
+
+        d = cur.diagonal()
+        dinv = (1.0 / np.where(d != 0.0, d, 1.0)).astype(cur.dtype())
+        sm = _band_smoother(cur, param, dtype, dinv=dinv)
 
         if smooth_p:
             # P = S P_tent with S = I - w D^-1 A  =>
@@ -442,35 +451,39 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
             # the smoothed transfers COMPOSE with the level's own A (shared
             # arrays — nothing extra to store or upload).
             omega = param.tentative_smooth
-            d = cur.diagonal()
-            dinv = (1.0 / np.where(d != 0.0, d, 1.0)).astype(cur.dtype())
-            S = cur.scale_rows(dinv).scaled(-omega).add_identity()
-            ST = cur.scale_cols(dinv).scaled(-omega).add_identity()
-            inner = ST.matmul(cur.matmul(S))
-            transfers.append((
-                SmoothedProlong(op_l, dinv, base_P, float(omega)),
-                SmoothedRestrict(op_l, dinv, base_R, float(omega))))
+            P: object = SmoothedProlong(op_l, dinv, base_P, float(omega))
+            R: object = SmoothedRestrict(op_l, dinv, base_R, float(omega))
         else:
-            inner = cur
-            transfers.append((base_P, base_R))
+            omega = 0.0
+            P, R = base_P, base_R
+        level = AMGLevel(A=op_l, P=P, R=R, smoother=sm)
+        if not levels:
+            # eagerly freeze the (dominant-size) fine level: its
+            # host->device transfer streams while the coarse-level band
+            # products below run on the host CPU
+            level = _freeze_device(level, dtype)
+        levels.append(level)
 
-        Bc = inner
-        for _, ax, s_ in steps:
-            Bc = Bc.pair_rap(ax, s_)
+        # fused native coarse Galerkin product (one tiled pass, no
+        # full-size intermediates); identical algebra to the band
+        # matmul + per-axis pair_rap fallback below
+        Bc = cur.smoothed_rap_all_axes(dinv if smooth_p else None,
+                                       omega, s_agg)
+        if Bc is None:
+            if smooth_p:
+                S = cur.scale_rows(dinv).scaled(-omega).add_identity()
+                ST = cur.scale_cols(dinv).scaled(-omega).add_identity()
+                inner = ST.matmul(cur.matmul(S))
+            else:
+                inner = cur
+            Bc = inner
+            for _, ax, s_ in steps:
+                Bc = Bc.pair_rap(ax, s_)
         band_levels.append(Bc)
         cur = Bc
 
     if len(band_levels) == 1:
         return None
-
-    levels = []
-    nlvl = len(band_levels)
-    for l, Bl in enumerate(band_levels):
-        if l == nlvl - 1:
-            break
-        sm = _band_smoother(Bl, param, dtype)
-        P, R = transfers[l]
-        levels.append(AMGLevel(A=level_ops[l], P=P, R=R, smoother=sm))
 
     # coarsest level: dense inverse on-device when small, DIA + Jacobi-CG
     # otherwise

@@ -26,9 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from ..constants import ILUType
+from ..constants import ERROR_SOLVER_ILUSETUP, ILUType
 from ..formats import CSRMatrix
 from ..ops.operators import default_dtype
+from ..utils.errors import FaspError
 from ..utils.params import ILUParam
 
 
@@ -129,11 +130,16 @@ def ilut_factor(A: CSRMatrix, droptol: float = 1e-3, lfil: int = None
     ilu = sp.linalg.spilu(A.to_scipy().tocsc(), drop_tol=droptol,
                           fill_factor=fill, permc_spec="NATURAL",
                           diag_pivot_thresh=0.0)
-    L = ilu.L.tocsr()
-    U = ilu.U.tocsr()
-    # spilu returns Pr A Pc = L U with perms; NATURAL + no pivoting keeps
-    # them identity for our use; assert to catch surprises
-    return L, U
+    # spilu returns Pr A Pc = L U; NATURAL + diag_pivot_thresh=0 keeps the
+    # perms identity — EXCEPT when a zero diagonal forces SuperLU to
+    # row-pivot anyway.  Discarding such a perm would silently corrupt the
+    # preconditioner, so verify and make the caller take the pivoted path.
+    if not (np.array_equal(ilu.perm_r, np.arange(n))
+            and np.array_equal(ilu.perm_c, np.arange(n))):
+        raise FaspError(ERROR_SOLVER_ILUSETUP,
+                        "ILUt: SuperLU pivoted despite NATURAL ordering "
+                        "(zero diagonal?) — use ILUtp")
+    return ilu.L.tocsr(), ilu.U.tocsr()
 
 
 def ilutp_factor(A: CSRMatrix, droptol: float = 1e-3, permtol: float = 0.05
@@ -262,15 +268,8 @@ def setup_ilu(A: CSRMatrix, param: ILUParam = None, dtype=None) -> ILUPrecond:
     dtype = dtype or default_dtype()
     t = int(param.ILU_type)
     from .. import native
-    if t == ILUType.ILUK:
-        out = native.iluk(A, param.ILU_lfil)
-        if out is not None:
-            L, U = out
-        elif A.nrow <= 20000:
-            L, U = iluk_factor(A, param.ILU_lfil)
-        else:   # no toolchain and too big for the python ILU(k): ILUt
-            L, U = ilut_factor(A, param.ILU_droptol)
-    elif t == ILUType.ILUTP:
+
+    def _pivoted() -> ILUPrecond:
         L, U, (perm_r, perm_c) = ilutp_factor(A, param.ILU_droptol,
                                               param.ILU_permtol)
         return ILUPrecond(
@@ -278,14 +277,31 @@ def setup_ilu(A: CSRMatrix, param: ILUParam = None, dtype=None) -> ILUPrecond:
             Usolve=TriangularSolver.from_sparse(U, lower=False, dtype=dtype),
             perm_in=jnp.asarray(np.argsort(perm_r).astype(np.int32)),
             perm_out=jnp.asarray(perm_c.astype(np.int32)))
+
+    if t == ILUType.ILUK:
+        out = native.iluk(A, param.ILU_lfil)
+        if out is not None:
+            L, U = out
+        elif A.nrow <= 20000:
+            L, U = iluk_factor(A, param.ILU_lfil)
+        else:   # no toolchain and too big for the python ILU(k): ILUt
+            try:
+                L, U = ilut_factor(A, param.ILU_droptol)
+            except FaspError:           # zero diagonal forced pivoting
+                return _pivoted()
+    elif t == ILUType.ILUTP:
+        return _pivoted()
     else:
         out = native.ilut(A, param.ILU_lfil, param.ILU_droptol)
         if out is not None:
             L, U = out
         else:
-            L, U = ilut_factor(A, param.ILU_droptol,
-                               None if param.ILU_lfil == 0
-                               else param.ILU_lfil)
+            try:
+                L, U = ilut_factor(A, param.ILU_droptol,
+                                   None if param.ILU_lfil == 0
+                                   else param.ILU_lfil)
+            except FaspError:
+                return _pivoted()
     return ILUPrecond(
         Lsolve=TriangularSolver.from_sparse(L, lower=True, dtype=dtype),
         Usolve=TriangularSolver.from_sparse(U, lower=False, dtype=dtype))

@@ -7,8 +7,14 @@ equivalent (SURVEY.md §5): serialize the frozen hierarchy pytree (all
 device arrays + static treedef) so an expensive setup is paid once and
 reused across processes, plus plain solver-iterate snapshots.
 
-Format: a single .npz with the flattened leaves + a JSON-encoded structure
-descriptor.  Uses orbax-style tree flattening but no orbax dependency.
+Format: a single .npz with the flattened leaves + a pickled treedef.
+
+SECURITY: checkpoints are TRUSTED input only.  The treedef blob is
+unpickled on load (np.load itself runs with allow_pickle=False, but the
+treedef round-trip needs pickle because pytree node types are arbitrary
+registered classes) — loading a checkpoint from an untrusted source can
+execute arbitrary code, exactly like torch.load.  Never feed user-uploaded
+files to load_pytree.
 """
 from __future__ import annotations
 
@@ -39,7 +45,9 @@ def save_pytree(path: str, tree: Any, meta: dict = None) -> None:
 
 
 def load_pytree(path: str, device: bool = True) -> Tuple[Any, dict]:
-    """Load a pytree saved by :func:`save_pytree`; returns (tree, meta)."""
+    """Load a pytree saved by :func:`save_pytree`; returns (tree, meta).
+
+    TRUSTED INPUT ONLY — unpickles the treedef (see module docstring)."""
     import pickle
 
     with np.load(path, allow_pickle=False) as z:

@@ -109,3 +109,59 @@ def test_bsr_csr_roundtrip():
     Ab = BSRMatrix.from_csr(CSRMatrix.from_scipy(big), nb=2)
     x = np.random.default_rng(0).standard_normal(Ab.nrow)
     np.testing.assert_allclose(Ab.matvec(x), big @ x, rtol=1e-13)
+
+
+def _hb_text(mxtype, nrow, ncol, colptr, rowind, vals, rhs=None):
+    """Minimal fixed-format Harwell-Boeing writer for tests."""
+    nnz = len(vals)
+
+    def wrap(s, w):
+        return "\n".join(s[i:i + w] for i in range(0, len(s), w))
+
+    ptr_l = wrap("".join(f"{v:5d}" for v in colptr), 80)
+    ind_l = wrap("".join(f"{v:5d}" for v in rowind), 80)
+    val_l = wrap("".join(f"{v:12.4E}" for v in vals), 72)
+    ptrcrd = ptr_l.count("\n") + 1
+    indcrd = ind_l.count("\n") + 1
+    valcrd = val_l.count("\n") + 1
+    rhs_l, rhscrd = "", 0
+    if rhs is not None:
+        rhs_l = wrap("".join(f"{v:12.4E}" for v in rhs), 72)
+        rhscrd = rhs_l.count("\n") + 1
+    tot = ptrcrd + indcrd + valcrd + rhscrd
+    hdr = (f"{'Test matrix':<72}{'TEST':<8}\n"
+           f"{tot:14d}{ptrcrd:14d}{indcrd:14d}{valcrd:14d}{rhscrd:14d}\n"
+           f"{mxtype:<14}{nrow:14d}{ncol:14d}{nnz:14d}{0:14d}\n"
+           f"{'(16I5)':<16}{'(16I5)':<16}{'(6E12.4)':<20}{'(6E12.4)':<20}\n")
+    if rhscrd:
+        hdr += f"{'F':<14}{1:14d}{0:14d}\n"
+    body = ptr_l + "\n" + ind_l + "\n" + val_l + "\n"
+    if rhscrd:
+        body += rhs_l + "\n"
+    return hdr + body
+
+
+def test_read_hb_symmetric_expands(tmp_path):
+    """RSA stores one triangle; the reader must expand it keyed on the
+    header's mxtype (BlaIO.c:2340), and return the rhs section."""
+    from faspsolver_tpu.io.readers import read_hb
+    p = tmp_path / "m.rsa"
+    p.write_text(_hb_text("RSA", 3, 3, [1, 3, 5, 6], [1, 2, 2, 3, 3],
+                          [4., -1., 4., -1., 4.], rhs=[1., 2., 3.]))
+    A, b = read_hb(str(p))
+    np.testing.assert_allclose(
+        A.to_dense(), [[4, -1, 0], [-1, 4, -1], [0, -1, 4]])
+    np.testing.assert_allclose(b, [1., 2., 3.])
+
+
+def test_read_hb_general_triangular_untouched(tmp_path):
+    """A genuinely triangular RUA (general) matrix must NOT be
+    symmetrized — regression for the mxtype-vs-heuristic advisory."""
+    from faspsolver_tpu.io.readers import read_hb
+    p = tmp_path / "m.rua"
+    p.write_text(_hb_text("RUA", 3, 3, [1, 2, 3, 4], [1, 1, 2],
+                          [4., -1., -1.]))
+    A, b = read_hb(str(p))
+    np.testing.assert_allclose(
+        A.to_dense(), [[4, -1, 0], [0, 0, -1], [0, 0, 0]])
+    assert b is None

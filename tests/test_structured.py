@@ -77,6 +77,41 @@ def test_band_matrix_rap_3d():
                                        atol=1e-12)
 
 
+@pytest.mark.parametrize("dims", [(11, 9), (4, 5, 6)])
+@pytest.mark.parametrize("omega", [0.0, 0.67])
+def test_fused_smoothed_rap_matches_scipy(dims, omega):
+    """The fused native smoothed-RAP kernel must equal the explicit scipy
+    triple product P^T (I - wAD^-1) A (I - wD^-1A) P with P the boolean
+    s-per-axis grouping over every axis — same contract as pair_rap."""
+    A = poisson_2d(dims[1], dims[0]) if len(dims) == 2 else (
+        poisson_3d(dims[2], dims[1], dims[0]))
+    B = BandMatrix.from_csr(A, dims)
+    m = A.to_scipy()
+    d = m.diagonal()
+    dinv = 1.0 / np.where(d != 0.0, d, 1.0)
+    for s in (2, 3):
+        got_B = B.smoothed_rap_all_axes(dinv if omega else None, omega, s)
+        if got_B is None:
+            pytest.skip("native kernel unavailable")
+        n = A.nrow
+        P = _grouping_P(dims, s)
+        S = sp.identity(n) - omega * sp.diags(dinv) @ m
+        ST = sp.identity(n) - omega * m @ sp.diags(dinv)
+        ref = (P.T @ (ST @ m @ S) @ P).toarray()
+        np.testing.assert_allclose(got_B.to_dense(), ref, atol=1e-10)
+
+
+def _grouping_P(dims, s):
+    """Boolean s-per-axis grouping prolongation over every axis."""
+    idx = np.indices(dims).reshape(len(dims), -1)
+    cdims = tuple(-(-d // s) for d in dims)
+    cidx = idx // s
+    cols = np.ravel_multi_index(cidx, cdims)
+    n = int(np.prod(dims))
+    return sp.csr_matrix((np.ones(n), (np.arange(n), cols)),
+                         shape=(n, int(np.prod(cdims))))
+
+
 def test_band_matmul_and_transpose():
     A = poisson_2d(8)
     B = BandMatrix.from_csr(A, (8, 8))
