@@ -121,6 +121,27 @@ def main() -> None:
     gbs = (op.bands.size * bytes_per + 3 * A.nrow * bytes_per) / spmv_s / 1e9
     nnz_per_s = nnz / spmv_s
 
+    # ---- achievable-bandwidth probe: the SAME chained-loop shape doing a
+    # pure streaming op (one read + one write per element per rep) — the
+    # honest speed-of-light reference for THIS chip+runtime (the tunneled
+    # v5e measures far below the 819 GB/s spec sheet; see
+    # tools/spmv_explore.py) ----
+    @jax.jit
+    def stream_chain(v):
+        def body(_, vv):
+            return vv * jnp.asarray(1.0000001, vv.dtype) + \
+                jnp.asarray(0.5, vv.dtype)
+        return jax.lax.fori_loop(0, reps, body, v)
+
+    float(jnp.sum(stream_chain(bdev)))
+    sruns = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(stream_chain(bdev)))
+        sruns.append(time.perf_counter() - t0)
+    stream_s = min(sruns) / reps
+    stream_gbs = 2 * A.nrow * bytes_per / stream_s / 1e9
+
     platform = jax.devices()[0].platform
     print(json.dumps({
         "metric": "amg_pcg_total_time_1M_poisson",
@@ -137,6 +158,9 @@ def main() -> None:
             "converged": bool(res.converged),
             "spmv_gbs": round(gbs, 2),
             "spmv_nnz_per_s": round(nnz_per_s / 1e9, 3),
+            "stream_gbs": round(stream_gbs, 2),
+            "spmv_us": round(spmv_s * 1e6, 1),
+            "stream_us": round(stream_s * 1e6, 1),
             "n": A.nrow, "nnz": nnz,
             "platform": platform,
             "dtype": str(np.dtype(op.bands.dtype)),

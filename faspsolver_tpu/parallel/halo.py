@@ -1,0 +1,185 @@
+"""Explicit halo-exchange distributed DIA SpMV (shard_map + ppermute).
+
+This is the performance distribution layer SURVEY.md §7 step 11 calls
+for — the TPU redesign of a domain-decomposed MPI SpMV (which the
+reference does not have; it is OpenMP-only, SURVEY §2.9):
+
+- vectors and band arrays are ROW-BLOCK sharded over a 1-D mesh axis:
+  shard i owns the contiguous flat-index slab [i*n_loc, (i+1)*n_loc);
+- a banded SpMV with max offset magnitude ``h`` needs exactly the h
+  entries on either side of the slab (the halo) — exchanged with the two
+  neighbors via ``jax.lax.ppermute`` (lowers to collective-permute riding
+  ICI, NOT an all-gather of the whole vector);
+- communication/computation OVERLAP: the interior contribution (every
+  term that only reads the local slab) is expressed independently of the
+  received halos, so XLA's latency-hiding scheduler runs the big
+  elementwise pass while the permutes are in flight; the halo terms
+  touch only h elements per edge and are added at the end;
+- Krylov reductions on the sharded outputs lower to psum via GSPMD —
+  the solver loops run unchanged on globally-sharded arrays, only the
+  operator apply is a shard_map region.
+
+The coarse-grid analog of the reference's "gather to one rank and solve
+serially" (PreMGCycle.c:156-202) stays in dist_dia.shard_hierarchy:
+levels below a size threshold are replicated.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..formats import CSRMatrix
+from ..ops.operators import default_dtype, dia_bands_from_csr
+from ..utils.messages import warn
+
+
+@dataclasses.dataclass(frozen=True)
+class CommMap:
+    """Per-level communication plan, fixed at setup time.
+
+    The reference's per-thread row partition (OpenMP static schedule) has
+    no comm plan; the distributed analog records exactly what each SpMV
+    will exchange so tests and tools can assert the pattern without
+    lowering the program.
+    """
+    n_shards: int
+    n_local: int                # rows per shard (padded-equal)
+    halo: int                   # entries exchanged per neighbor edge
+    replicated: bool = False    # True = no comm (coarse level)
+
+    @property
+    def bytes_per_exchange(self) -> int:
+        if self.replicated:
+            return 0
+        return 2 * self.halo    # elements; x2 for both directions
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloDiaOperator:
+    """Row-block sharded DIA operator with explicit neighbor exchange.
+
+    ``bands`` is (k, n) sharded P(None, axis) over a 1-D mesh; ``x`` is
+    expected sharded P(axis).  ``__call__`` runs a shard_map region that
+    ppermutes the 2h halo entries and applies the bands locally.
+    """
+
+    bands: jax.Array            # (k, n), n = n_shards * n_local
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(default="rows",
+                                  metadata=dict(static=True))
+    # mesh is static config (hashable); jax Mesh is hashable
+    mesh: Mesh = dataclasses.field(default=None,
+                                   metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def ncol(self):
+        return self.n
+
+    @property
+    def dtype(self):
+        return self.bands.dtype
+
+    @property
+    def halo(self) -> int:
+        return max(max(abs(o) for o in self.offsets), 1)
+
+    @property
+    def comm_map(self) -> CommMap:
+        ns = self.mesh.shape[self.axis]
+        return CommMap(n_shards=ns, n_local=self.n // ns, halo=self.halo)
+
+    def diagonal(self) -> jax.Array:
+        for k, off in enumerate(self.offsets):
+            if off == 0:
+                return self.bands[k]
+        return jnp.zeros(self.n, dtype=self.bands.dtype)
+
+    # -- the shard-local kernel ---------------------------------------
+
+    def _local_apply(self, bands_l: jax.Array, x_l: jax.Array) -> jax.Array:
+        """Per-shard body: halo exchange + banded apply with overlap."""
+        ax = self.axis
+        h = self.halo
+        n_loc = x_l.shape[0]
+        ns = self.mesh.shape[ax]
+
+        # neighbor exchange (devices at the ends receive zeros — exactly
+        # the zero-halo the matrix boundary needs)
+        send_right = [(i, i + 1) for i in range(ns - 1)]
+        send_left = [(i, i - 1) for i in range(1, ns)]
+        left_halo = jax.lax.ppermute(x_l[n_loc - h:], ax, send_right)
+        right_halo = jax.lax.ppermute(x_l[:h], ax, send_left)
+
+        # interior: every term reads ONLY the local slab (zero-filled at
+        # the slab edges) — independent of the permutes, so XLA overlaps
+        # this full-size pass with the exchange
+        xp_local = jnp.pad(x_l, (h, h))
+        y = jnp.zeros_like(x_l)
+        for k, off in enumerate(self.offsets):
+            y = y + bands_l[k] * jax.lax.slice(
+                xp_local, (h + off,), (h + off + n_loc,))
+
+        # halo corrections: off < 0 reads left of the slab -> the first
+        # |off| rows are missing their left_halo contribution; off > 0
+        # reads right -> last off rows missing right_halo.  Each touches
+        # only h elements per edge.
+        for k, off in enumerate(self.offsets):
+            if off < 0:
+                m = -off
+                y = y.at[:m].add(bands_l[k][:m] * left_halo[h - m:])
+            elif off > 0:
+                y = y.at[n_loc - off:].add(
+                    bands_l[k][n_loc - off:] * right_halo[:off])
+        return y
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fn = jax.shard_map(
+            self._local_apply, mesh=self.mesh,
+            in_specs=(P(None, self.axis), P(self.axis)),
+            out_specs=P(self.axis))
+        return fn(self.bands, x)
+
+
+def halo_dia_operator(A: CSRMatrix, mesh: Mesh, dtype=None,
+                      axis: str = "rows") -> HaloDiaOperator:
+    """Build a halo-exchange sharded DIA operator from a host matrix.
+
+    Rows are zero-padded to a shard multiple; requires the halo (max
+    band offset) to fit within one shard — true for any realistic
+    row-slab decomposition (h = grid row length, n_local >> h)."""
+    dtype = dtype or default_dtype()
+    offsets, bands = dia_bands_from_csr(A)
+    n = A.nrow
+    ns = mesh.shape[axis]
+    target = ((n + ns - 1) // ns) * ns
+    if target != n:
+        bands = np.pad(bands, ((0, 0), (0, target - n)))
+    h = max(int(np.max(np.abs(offsets))), 1)
+    if h > target // ns:
+        warn(f"halo {h} exceeds shard size {target // ns}; "
+             "falling back to replicated DIA")
+        from .dist_dia import dist_dia_operator
+        return dist_dia_operator(A, mesh, dtype=dtype, axis=axis)
+    dev = jax.device_put(jnp.asarray(bands.astype(np.dtype(dtype))),
+                         NamedSharding(mesh, P(None, axis)))
+    return HaloDiaOperator(dev, tuple(int(o) for o in offsets), target,
+                           axis=axis, mesh=mesh)
+
+
+def comm_pattern(op: HaloDiaOperator) -> str:
+    """Lowered HLO for one SpMV — lets tests assert collective-permute
+    (neighbor exchange) and the ABSENCE of all-gather."""
+    x = jnp.zeros(op.n, dtype=op.dtype)
+    x = jax.device_put(x, NamedSharding(op.mesh, P(op.axis)))
+    return jax.jit(op.__call__).lower(x).compile().as_text()

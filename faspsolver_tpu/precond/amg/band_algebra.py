@@ -326,6 +326,17 @@ class BandMatrix:
         out = {c: v for c, v in out.items() if np.any(v)}
         return BandMatrix(cdims, out)
 
+    def to_nd_operator(self):
+        """Grid-aware device operator (DiaNdOperator): per-axis shifted
+        SpMV — keeps axis-0 moves sublane-aligned (2.8x over the flat
+        DiaOperator on TPU; see tools/spmv_explore.py)."""
+        import jax.numpy as jnp
+        from ...ops.operators import DiaNdOperator
+        coords, stack = self._stack()
+        return DiaNdOperator(jnp.asarray(stack),
+                             tuple(tuple(int(v) for v in c) for c in coords),
+                             tuple(int(d) for d in self.dims))
+
     def smoothed_rap_all_axes(self, dinv: Optional[np.ndarray],
                               omega: float, s: int
                               ) -> Optional["BandMatrix"]:

@@ -83,6 +83,10 @@ def interp_direct(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
         P_ij  = -beta  * a_ij / a_ii   (a_ij > 0, j in C_i)
     Positive mass with no positive coarse entries folds into the diagonal.
     C points interpolate identically.
+
+    Fully vectorized (no per-row Python): strong-set membership of each A
+    entry is a sorted-key searchsorted; the per-row sums are bincounts.
+    Setup-compiled analog of the reference's C row loop.
     """
     n = A.nrow
     cidx = _coarse_index(cf_marker)
@@ -90,55 +94,54 @@ def interp_direct(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
     m = A.to_scipy().tocsr()
     Sr = S.tocsr()
 
-    rows, cols, vals = [], [], []
-    for i in range(n):
-        if cf_marker[i] == CGPT:
-            rows.append(i)
-            cols.append(cidx[i])
-            vals.append(1.0)
-            continue
-        if cf_marker[i] == ISPT:
-            continue
-        s, e = m.indptr[i], m.indptr[i + 1]
-        idx = m.indices[s:e]
-        a = m.data[s:e]
-        diag_mask = idx == i
-        aii = a[diag_mask].sum() if diag_mask.any() else 1.0
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(m.indptr))
+    cols = m.indices.astype(np.int64)
+    a = m.data.astype(np.float64)
 
-        strong = set(Sr.indices[Sr.indptr[i]:Sr.indptr[i + 1]])
-        in_C = np.array([(j in strong) and cf_marker[j] == CGPT
-                         for j in idx])
-        offd = ~diag_mask
+    # membership of each A entry (i, j) in the strong graph S
+    skey = np.sort(np.repeat(np.arange(n, dtype=np.int64),
+                             np.diff(Sr.indptr)) * n
+                   + Sr.indices.astype(np.int64))
+    akey = rows * n + cols
+    pos_in_s = np.searchsorted(skey, akey)
+    pos_in_s[pos_in_s >= len(skey)] = max(len(skey) - 1, 0)
+    in_strong = (len(skey) > 0) & (skey[pos_in_s] == akey)
 
-        neg = offd & (a < 0)
-        pos = offd & (a > 0)
-        negC = in_C & neg
-        posC = in_C & pos
+    diag_mask = cols == rows
+    is_F = cf_marker[rows] == FGPT
+    offd = ~diag_mask
+    neg = offd & (a < 0)
+    pos = offd & (a > 0)
+    in_C = in_strong & (cf_marker[cols] == CGPT)
+    negC = in_C & neg & is_F
+    posC = in_C & pos & is_F
 
-        sum_neg = a[neg].sum()
-        sum_pos = a[pos].sum()
-        sum_negC = a[negC].sum()
-        sum_posC = a[posC].sum()
+    aii = np.bincount(rows[diag_mask], a[diag_mask], minlength=n)
+    aii = np.where(aii != 0.0, aii, 1.0)
+    sum_neg = np.bincount(rows[neg], a[neg], minlength=n)
+    sum_pos = np.bincount(rows[pos], a[pos], minlength=n)
+    sum_negC = np.bincount(rows[negC], a[negC], minlength=n)
+    sum_posC = np.bincount(rows[posC], a[posC], minlength=n)
 
-        alpha = (sum_neg / sum_negC) if sum_negC != 0.0 else 0.0
-        if sum_posC != 0.0:
-            beta = sum_pos / sum_posC
-        else:
-            beta = 0.0
-            aii += sum_pos          # fold positive mass into diagonal
+    alpha = np.where(sum_negC != 0.0, sum_neg / np.where(sum_negC != 0.0,
+                                                         sum_negC, 1.0), 0.0)
+    has_posC = sum_posC != 0.0
+    beta = np.where(has_posC, sum_pos / np.where(has_posC, sum_posC, 1.0),
+                    0.0)
+    aii = aii + np.where(has_posC, 0.0, sum_pos)   # fold positive mass
 
-        for k in np.nonzero(negC)[0]:
-            rows.append(i)
-            cols.append(cidx[idx[k]])
-            vals.append(-alpha * a[k] / aii)
-        for k in np.nonzero(posC)[0]:
-            rows.append(i)
-            cols.append(cidx[idx[k]])
-            vals.append(-beta * a[k] / aii)
+    keep = negC | posC
+    coef = np.where(a < 0, alpha[rows], beta[rows])
+    out_rows = rows[keep]
+    out_cols = cidx[cols[keep]]
+    out_vals = (-coef[keep] * a[keep] / aii[out_rows])
 
-    return CSRMatrix.from_coo(np.array(rows, dtype=np.int64),
-                              np.array(cols, dtype=np.int64),
-                              np.array(vals), (n, nc))
+    cpts = np.nonzero(cf_marker == CGPT)[0]
+    out_rows = np.concatenate([out_rows, cpts])
+    out_cols = np.concatenate([out_cols, cidx[cpts]])
+    out_vals = np.concatenate([out_vals, np.ones(len(cpts))])
+
+    return CSRMatrix.from_coo(out_rows, out_cols, out_vals, (n, nc))
 
 
 def interp_standard(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
@@ -290,25 +293,20 @@ def interp_extended(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
 
 def truncate(P: CSRMatrix, eps: float) -> CSRMatrix:
     """Drop small P entries and rescale rows to preserve row sums
-    (reference: amg_interp_trunc, PreAMGInterp.c)."""
+    (reference: amg_interp_trunc, PreAMGInterp.c).  Vectorized: per-row
+    max/sum via segment reductions, one boolean compaction."""
     if eps <= 0:
         return P
-    m = P.to_scipy().tolil()
-    out = sp.lil_matrix(P.shape)
-    for i in range(P.nrow):
-        row = np.asarray(m.rows[i], dtype=np.int64)
-        data = np.asarray(m.data[i], dtype=np.float64)
-        if len(row) == 0:
-            continue
-        mx = np.abs(data).max()
-        keep = np.abs(data) >= eps * mx
-        if keep.all():
-            out[i, row] = data
-            continue
-        kept = data[keep]
-        # rescale to preserve the row sum
-        tot = data.sum()
-        ks = kept.sum()
-        scale = tot / ks if ks != 0 else 1.0
-        out[i, row[keep]] = kept * scale
-    return CSRMatrix.from_scipy(out.tocsr())
+    m = P.to_scipy().tocsr()
+    n = P.nrow
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(m.indptr))
+    absd = np.abs(m.data)
+    rmax = np.zeros(n)
+    np.maximum.at(rmax, rows, absd)
+    keep = absd >= eps * rmax[rows]
+    tot = np.bincount(rows, m.data, minlength=n)
+    ks = np.bincount(rows[keep], m.data[keep], minlength=n)
+    scale = np.where(ks != 0.0, tot / np.where(ks != 0.0, ks, 1.0), 1.0)
+    out = sp.csr_matrix((m.data[keep] * scale[rows[keep]],
+                         (rows[keep], m.indices[keep])), shape=P.shape)
+    return CSRMatrix.from_scipy(out)

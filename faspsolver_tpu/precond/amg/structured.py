@@ -43,6 +43,12 @@ from .aggregation import _rap_boolean
 from .hierarchy import AMGHierarchy, AMGLevel, make_coarse_solver
 from .smoothers import SmootherData
 
+# levels at or above this size use the grid-aware DiaNdOperator (aligned
+# axis shifts, 2.8x on the 1M-dof fine SpMV); smaller levels stay flat —
+# measured: all-nd hierarchies REGRESS the V-cycle (odd nx relayouts +
+# per-op overhead on small grids), 0.67s -> 1.0s solve at the bench size
+_ND_OPERATOR_MIN_N = 1 << 19
+
 
 # ---------------------------------------------------------------------------
 # structure detection
@@ -438,8 +444,14 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
         base_P = PairProlong(tuple(steps), cur.n, int(np.prod(cdims)))
         base_R = PairRestrict(tuple(steps), cur.n, int(np.prod(cdims)))
 
-        offs_l, flat_l = cur.flat_offsets()
-        op_l = DiaOperator(flat_l, tuple(int(o) for o in offs_l), cur.n)
+        # grid-aware per-axis shifts for LARGE levels (2.8x on the fine
+        # SpMV: axis-0 moves stay sublane-aligned); small/odd-dim grids
+        # are faster flat (fixed per-op overhead + relayout dominate)
+        if cur.n >= _ND_OPERATOR_MIN_N:
+            op_l = cur.to_nd_operator()
+        else:
+            offs_l, flat_l = cur.flat_offsets()
+            op_l = DiaOperator(flat_l, tuple(int(o) for o in offs_l), cur.n)
 
         d = cur.diagonal()
         dinv = (1.0 / np.where(d != 0.0, d, 1.0)).astype(cur.dtype())
@@ -501,8 +513,11 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
         coarse = CoarseSolver(inv=inv)
     else:
         from .hierarchy import IterativeCoarseSolver
-        offs_l, flat_l = Bl.flat_offsets()
-        op = DiaOperator(flat_l, tuple(int(o) for o in offs_l), Bl.n)
+        if Bl.n >= _ND_OPERATOR_MIN_N:
+            op = Bl.to_nd_operator()
+        else:
+            offs_l, flat_l = Bl.flat_offsets()
+            op = DiaOperator(flat_l, tuple(int(o) for o in offs_l), Bl.n)
         levels.append(AMGLevel(A=op, P=None, R=None, smoother=None))
         d = Bl.diagonal()
         d = np.where(d != 0.0, d, 1.0)

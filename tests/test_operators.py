@@ -78,3 +78,23 @@ def test_operator_is_pytree():
     x = jnp.ones(A.ncol, dtype=op.dtype)
     _ = f(op, x)
     _ = f(op, x + 1)
+
+
+def test_dia_nd_operator_matches_csr():
+    """Grid-aware per-axis-shift SpMV == CSR matvec (2-D and 3-D), and
+    the structured hierarchy's fine operator is the nd form."""
+    import jax.numpy as jnp
+    from faspsolver_tpu.ops import DiaNdOperator
+    from faspsolver_tpu.precond.amg.band_algebra import BandMatrix
+    from faspsolver_tpu.testgen import poisson_2d, poisson_3d
+    rng = np.random.default_rng(5)
+    for A, dims in ((poisson_2d(13, 9), (9, 13)),
+                    (poisson_3d(6, 5, 4), (4, 5, 6))):
+        B = BandMatrix.from_csr(A, dims)
+        op = B.to_nd_operator()
+        assert isinstance(op, DiaNdOperator)
+        x = rng.standard_normal(A.nrow)
+        np.testing.assert_allclose(np.asarray(op(jnp.asarray(x))),
+                                   A.matvec(x), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.diagonal()), A.diagonal(),
+                                   rtol=1e-14)

@@ -93,3 +93,54 @@ def test_sharded_structured_amg_matches(mesh):
     assert int(r1.iters) == int(r2.iters)
     np.testing.assert_allclose(np.asarray(r2.x)[:A.nrow], np.asarray(r1.x),
                                atol=1e-10)
+
+
+def test_halo_dia_spmv_matches(mesh):
+    """Explicit shard_map + ppermute halo SpMV reproduces the CSR matvec
+    (up to one ulp of reassociation at the slab edges)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from faspsolver_tpu.parallel.halo import halo_dia_operator
+    A = poisson_2d(32)                      # n=1024, halo 32 < n_local 128
+    op = halo_dia_operator(A, mesh)
+    x = RNG.standard_normal(op.n)
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("rows")))
+    y = np.asarray(jax.jit(op.__call__)(xd))[:A.nrow]
+    # atol: one ulp at the h^-2-scaled band magnitude (~1e4)
+    np.testing.assert_allclose(y, A.matvec(x[:A.nrow]),
+                               rtol=1e-12, atol=1e-11)
+
+
+def test_halo_dia_comm_is_neighbor_permute_not_allgather(mesh):
+    """SURVEY §7 step 11 contract: the fine-level distributed SpMV must
+    lower to collective-permute (neighbor halo exchange, O(halo) bytes)
+    and NOT to an all-gather of the whole vector (O(n) bytes)."""
+    from faspsolver_tpu.parallel.halo import halo_dia_operator, comm_pattern
+    A = poisson_2d(32)
+    op = halo_dia_operator(A, mesh)
+    hlo = comm_pattern(op)
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+    cm = op.comm_map
+    assert cm.n_shards == 8 and cm.halo == 32 and cm.n_local == 128
+    assert cm.bytes_per_exchange == 64
+
+
+def test_halo_dia_pcg_matches_single_device(mesh):
+    """Full PCG over the halo-exchange operator: same iterate path as the
+    single-device DIA solve (reductions ride psum, SpMV rides ppermute)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from faspsolver_tpu.parallel.halo import halo_dia_operator
+    A = poisson_2d(32)
+    b = A.matvec(np.ones(A.nrow))
+    r1 = pcg(device_operator(A, prefer="dia"), jnp.asarray(b),
+             M=JacobiPrecond(jnp.asarray(1.0 / A.diagonal())), tol=1e-10,
+             maxit=400)
+    op = halo_dia_operator(A, mesh)
+    bd = jax.device_put(jnp.asarray(b), NamedSharding(mesh, P("rows")))
+    dinv = jax.device_put(jnp.asarray(1.0 / A.diagonal()),
+                          NamedSharding(mesh, P("rows")))
+    r2 = pcg(op, bd, M=JacobiPrecond(dinv), tol=1e-10, maxit=400)
+    assert bool(r2.converged)
+    assert abs(int(r1.iters) - int(r2.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(r2.x)[:A.nrow],
+                               np.asarray(r1.x), atol=1e-8)

@@ -39,6 +39,12 @@ from faspsolver_tpu.utils.params import AMGParam
 
 
 def main(n: int = 256) -> int:
+    lines = []
+
+    def emit(s):
+        print(s)
+        lines.append(s)
+
     A = poisson_2d(n)                       # n^2 dof
     b = A.matvec(np.ones(A.nrow))
     hier = setup_structured(A, AMGParam(coarse_dof=400), smooth_p=True)
@@ -46,6 +52,9 @@ def main(n: int = 256) -> int:
 
     ndev = len(jax.devices())
     results = {}
+    emit(f"# scaling_check n={n} ({A.nrow} dof), platform="
+         f"{jax.devices()[0].platform}, {ndev} devices")
+    emit("## GSPMD path (dist_dia_operator + sharded hierarchy)")
     for k in (1, 2, 4, 8):
         if k > ndev or A.nrow % k:
             continue
@@ -60,13 +69,50 @@ def main(n: int = 256) -> int:
         float(jnp.sum(r.x))
         dt = time.perf_counter() - t0
         results[k] = (int(r.iters), dt, bool(r.converged))
-        print(f"{k} device(s): iters={int(r.iters):3d} "
-              f"t={dt*1e3:8.1f} ms converged={bool(r.converged)}")
+        emit(f"{k} device(s): iters={int(r.iters):3d} "
+             f"t={dt*1e3:8.1f} ms converged={bool(r.converged)}")
 
     iters = {v[0] for v in results.values()}
     ok = len(iters) == 1 and all(v[2] for v in results.values())
-    print("PARITY", "OK" if ok else "FAILED", "- iteration counts:", iters)
-    return 0 if ok else 1
+    emit(f"PARITY {'OK' if ok else 'FAILED'} - iteration counts: {iters}")
+
+    # explicit halo-exchange path: comm pattern + Jacobi-PCG parity
+    from faspsolver_tpu.krylov import JacobiPrecond
+    from faspsolver_tpu.parallel import comm_pattern, halo_dia_operator
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    emit("## explicit halo path (shard_map + ppermute)")
+    halo_iters = {}
+    for k in (1, 2, 4, 8):
+        if k > ndev or A.nrow % k:
+            continue
+        mesh = make_mesh(k)
+        op = halo_dia_operator(A, mesh)
+        sh = NamedSharding(mesh, P("rows"))
+        bd = jax.device_put(jnp.asarray(b, dtype=op.dtype), sh)
+        dinv = jax.device_put(jnp.asarray(1.0 / A.diagonal(),
+                                          dtype=op.dtype), sh)
+        r = pcg(op, bd, M=JacobiPrecond(dinv), tol=1e-8, maxit=2000)
+        float(jnp.sum(r.x))
+        t0 = time.perf_counter()
+        r = pcg(op, bd, M=JacobiPrecond(dinv), tol=1e-8, maxit=2000)
+        float(jnp.sum(r.x))
+        dt = time.perf_counter() - t0
+        halo_iters[k] = int(r.iters)
+        hlo = comm_pattern(op)
+        pat = ("collective-permute" if "collective-permute" in hlo
+               else "NONE") + ("+ALL-GATHER!" if "all-gather" in hlo else "")
+        emit(f"{k} device(s): iters={int(r.iters):4d} t={dt*1e3:8.1f} ms "
+             f"comm={pat} halo={op.comm_map.halo}")
+    ok_h = len(set(halo_iters.values())) == 1
+    emit(f"HALO PARITY {'OK' if ok_h else 'FAILED'} - "
+         f"iteration counts: {set(halo_iters.values())}")
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "scaling_check.out")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"(recorded to {out})")
+    return 0 if (ok and ok_h) else 1
 
 
 if __name__ == "__main__":
