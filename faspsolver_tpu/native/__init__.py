@@ -66,6 +66,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fasp_pairwise_match.restype = ctypes.c_int
         lib.fasp_pairwise_match.argtypes = [ctypes.c_int, _i32p, _i32p,
                                             _f64p, _i32p]
+        lib.fasp_notay_match.restype = ctypes.c_int
+        lib.fasp_notay_match.argtypes = [ctypes.c_int, _i32p, _i32p, _f64p,
+                                         ctypes.c_int, ctypes.c_double,
+                                         _i32p]
+        lib.fasp_nsympair_match.restype = ctypes.c_int
+        lib.fasp_nsympair_match.argtypes = [ctypes.c_int, _i32p, _i32p,
+                                            _f64p, ctypes.c_int,
+                                            ctypes.c_double, _i32p]
         lib.fasp_vmb_aggregate.restype = ctypes.c_int
         lib.fasp_vmb_aggregate.argtypes = [ctypes.c_int, _i32p, _i32p, _f64p,
                                            ctypes.c_int, _i32p]
@@ -150,6 +158,32 @@ def pairwise_match(A) -> Optional[Tuple[np.ndarray, int]]:
     indptr, indices, data, n = _csr_arrays(A.to_scipy())
     agg = np.empty(n, dtype=np.int32)
     nagg = lib.fasp_pairwise_match(n, indptr, indices, data, agg)
+    return agg.astype(np.int64), int(nagg)
+
+
+def notay_match(A, first_pass: bool, k_tg: float
+                ) -> Optional[Tuple[np.ndarray, int]]:
+    """Quality-bounded symmetric pairwise matching (Notay form_pairwise)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices, data, n = _csr_arrays(A.to_scipy())
+    agg = np.empty(n, dtype=np.int32)
+    nagg = lib.fasp_notay_match(n, indptr, indices, data,
+                                1 if first_pass else 0, float(k_tg), agg)
+    return agg.astype(np.int64), int(nagg)
+
+
+def nsympair_match(A, first_pass: bool, k_tg: float
+                   ) -> Optional[Tuple[np.ndarray, int]]:
+    """Non-symmetric pairwise matching (nsympair first-pass rule)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices, data, n = _csr_arrays(A.to_scipy())
+    agg = np.empty(n, dtype=np.int32)
+    nagg = lib.fasp_nsympair_match(n, indptr, indices, data,
+                                   1 if first_pass else 0, float(k_tg), agg)
     return agg.astype(np.int64), int(nagg)
 
 

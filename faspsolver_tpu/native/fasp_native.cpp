@@ -459,4 +459,184 @@ int fasp_rs_cf_split(int n, const int32_t* s_indptr, const int32_t* s_indices,
     return nc;
 }
 
+// ---------------------------------------------------------------------------
+// Notay quality-bounded pairwise matching (reference: form_pairwise,
+// PreAMGAggregationUA.inl:170 — Napov & Notay 2011).  Matches each
+// unaggregated node with the free neighbour minimizing the two-point
+// convergence measure mu, pairing only when mu <= k_tg.  On the first pass
+// extremely diagonally dominant rows (a_ii >= (k+1)/(k-1) * sum|offdiag|)
+// are excluded from matching; the reference drops them from the coarse
+// space entirely (G0PT), here they become trailing singleton aggregates —
+// equivalent up to an identity coarse row.  Returns the aggregate count.
+// ---------------------------------------------------------------------------
+static inline double row_diag(const int32_t* indptr, const int32_t* indices,
+                              const double* data, int i) {
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+        if (indices[p] == i) return data[p];
+    return 0.0;
+}
+
+int fasp_notay_match(int n, const int32_t* indptr, const int32_t* indices,
+                     const double* data, int first_pass, double k_tg,
+                     int32_t* agg) {
+    const double SMALL = 1e-20;
+    std::vector<double> diag(n), s(n, 0.0), sabs(n, 0.0);
+    for (int i = 0; i < n; ++i) diag[i] = row_diag(indptr, indices, data, i);
+    for (int i = 0; i < n; ++i)
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+            if (indices[p] != i) {
+                s[i] -= data[p];
+                sabs[i] += std::fabs(data[p]);
+            }
+    const int32_t FREE = -1, G0 = -2;
+    for (int i = 0; i < n; ++i) agg[i] = FREE;
+    if (first_pass && k_tg > 1.0) {
+        const double hold = (k_tg + 1.0) / (k_tg - 1.0);
+        for (int i = 0; i < n; ++i)
+            if (diag[i] >= hold * sabs[i]) agg[i] = G0;
+    }
+    int nagg = 0;
+    for (int i = 0; i < n; ++i) {
+        if (agg[i] != FREE) continue;
+        double min_mu = 1e300;
+        int index = -1;
+        const double aii = diag[i];
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int32_t col = indices[p];
+            if (col == i || agg[col] != FREE) continue;
+            const double aij = data[p];
+            const double ajj = diag[col];
+            double t1 = aii + s[i] + 2.0 * aij;
+            double t2 = ajj + s[col] + 2.0 * aij;
+            if (std::fabs(t1) < SMALL) t1 = (t1 >= 0) ? SMALL : -SMALL;
+            if (std::fabs(t2) < SMALL) t2 = (t2 >= 0) ? SMALL : -SMALL;
+            t2 = 1.0 / t1 + 1.0 / t2;
+            if (std::fabs(t2) < SMALL) t2 = (t2 >= 0) ? SMALL : -SMALL;
+            const double t3 = std::max(std::fabs(aii - s[i]), SMALL);
+            double t4 = std::max(std::fabs(ajj - s[col]), SMALL);
+            t4 = -aij + 1.0 / (1.0 / t3 + 1.0 / t4);
+            if (std::fabs(t4) < SMALL) t4 = (t4 > 0) ? SMALL : -SMALL;
+            const double mu = (-aij + 1.0 / t2) / t4;
+            if (mu < min_mu) { min_mu = mu; index = col; }
+        }
+        agg[i] = nagg;
+        if (index >= 0 && min_mu <= k_tg) agg[index] = nagg;
+        ++nagg;
+    }
+    for (int i = 0; i < n; ++i)          // G0 rows -> singletons
+        if (agg[i] == G0) agg[i] = nagg++;
+    return nagg;
+}
+
+// ---------------------------------------------------------------------------
+// Non-symmetric pairwise matching, first-pass rule (reference:
+// nsympair_1stpass + pair_aggregate_init, PreAMGAggregationUA.inl —
+// Napov & Notay 2012).  Uses the symmetrized value -0.5(a_ij+a_ji) and the
+// del/sig/eta quality measure; rows with a large positive off-diagonal
+// (max > 0.45 a_ii) stay unpaired singletons; extremely diagonally
+// dominant rows (a_ii > k/(k-2) * symmetrized |offdiag| sum) are G0.
+// Later passes reuse this rule on the coarse matrix (the reference's
+// nsympair_2ndpass re-derives the measure on the original matrix; the
+// composed-coarse form used here is the same construction symmpair uses).
+// ---------------------------------------------------------------------------
+int fasp_nsympair_match(int n, const int32_t* indptr, const int32_t* indices,
+                        const double* data, int first_pass, double k_tg,
+                        int32_t* agg) {
+    const double SMALL = 1e-20;
+    std::vector<double> diag(n), s(n), colsum(n, 0.0), colmax(n, 0.0),
+        abscolsum(n, 0.0);
+    std::vector<int8_t> nopair(n, 0);
+    for (int i = 0; i < n; ++i) diag[i] = row_diag(indptr, indices, data, i);
+    for (int i = 0; i < n; ++i)
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int32_t col = indices[p];
+            if (col == i) continue;
+            const double aij = data[p];
+            colsum[col] += aij;
+            colmax[col] = std::max(colmax[col], aij);
+            abscolsum[col] += std::fabs(aij);
+        }
+    const int32_t FREE = -1, G0 = -2;
+    const double hold = (k_tg > 2.0) ? k_tg / (k_tg - 2.0) : 1e300;
+    for (int i = 0; i < n; ++i) {
+        double rowsum = 0.0, rmax = 0.0, absrowsum = 0.0;
+        const double aii = diag[i];
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            if (indices[p] == i) continue;
+            const double aij = data[p];
+            rowsum += aij;
+            rmax = std::max(rmax, aij);
+            absrowsum += std::fabs(aij);
+        }
+        rowsum = 0.5 * (colsum[i] + rowsum);
+        rmax = std::max(colmax[i], rmax);
+        absrowsum = 0.5 * (abscolsum[i] + absrowsum);
+        s[i] = -rowsum;
+        if (first_pass && aii > hold * absrowsum) {
+            agg[i] = G0;
+        } else {
+            agg[i] = FREE;
+            if (rmax > 0.45 * aii) nopair[i] = 1;
+        }
+    }
+    int nagg = 0;
+    for (int i = 0; i < n; ++i) {
+        if (agg[i] != FREE) continue;
+        agg[i] = nagg;
+        if (nopair[i]) { ++nagg; continue; }
+        int ipair = -1;
+        double val = 0.0;
+        const double aii = diag[i];
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int32_t col = indices[p];
+            if (col == i || agg[col] != FREE || nopair[col]) continue;
+            const double aij = data[p];
+            const double ajj = diag[col];
+            double aji = 0.0;
+            for (int32_t q = indptr[col]; q < indptr[col + 1]; ++q)
+                if (indices[q] == i) { aji = data[q]; break; }
+            double vals = -0.5 * (aij + aji);
+            const double rsi = -s[i] + aii;
+            const double rsj = -s[col] + ajj;
+            const double eta1 = 2.0 * aii, eta2 = 2.0 * ajj;
+            const double sig1 = s[i] - vals, sig2 = s[col] - vals;
+            const double del1 = (sig1 > 0) ? rsi : rsi + 2.0 * sig1;
+            const double del2 = (sig2 > 0) ? rsj : rsj + 2.0 * sig2;
+            double mu;
+            if (vals > 0.0) {
+                const double epsr = 1.49e-8 * vals;
+                if (std::fabs(del1) < epsr && std::fabs(del2) < epsr) {
+                    mu = (eta1 * eta2) / (vals * (eta1 + eta2));
+                } else if (std::fabs(del1) < epsr) {
+                    if (del2 < -epsr) continue;
+                    mu = (eta1 * eta2) / (vals * (eta1 + eta2));
+                } else if (std::fabs(del2) < epsr) {
+                    if (del1 < -epsr) continue;
+                    mu = (eta1 * eta2) / (vals * (eta1 + eta2));
+                } else {
+                    const double del12 = del1 + del2;
+                    if (del12 < -epsr || del12 == 0.0) continue;
+                    mu = vals + del1 * del2 / del12;
+                    if (mu <= 0.0) continue;
+                    mu = ((eta1 * eta2) / (eta1 + eta2)) / mu;
+                }
+            } else {
+                if (del1 <= 0.0 || del2 <= 0.0) continue;
+                const double dsum = del1 + del2;
+                if (std::fabs(dsum) < SMALL) continue;
+                mu = vals + del1 * del2 / dsum;
+                if (mu <= 0.0) continue;
+                mu = ((eta1 * eta2) / (eta1 + eta2)) / mu;
+            }
+            if (mu > k_tg) continue;
+            if (ipair == -1 || (mu - val) < -0.06) { ipair = col; val = mu; }
+        }
+        if (ipair >= 0) agg[ipair] = nagg;
+        ++nagg;
+    }
+    for (int i = 0; i < n; ++i)
+        if (agg[i] == G0) agg[i] = nagg++;
+    return nagg;
+}
+
 }  // extern "C"

@@ -14,6 +14,7 @@ from typing import Tuple
 import numpy as np
 import scipy.sparse as sp
 
+from ...constants import AggregationType
 from ...formats import CSRMatrix
 
 
@@ -108,64 +109,130 @@ def aggregate_vmb(A: CSRMatrix, theta: float, max_aggregation: int = 20
     return agg, nagg
 
 
-def aggregate_pairwise(A: CSRMatrix, k_pairs: int = 2,
-                       quality_bound: float = 8.0) -> Tuple[np.ndarray, int]:
-    """(Multi-)pairwise matching aggregation
-    (reference: aggregation_symmpair, PreAMGAggregationUA.inl:363).
-
-    Each pass matches every node with its strongest available negative
-    neighbor; ``k_pairs`` passes compose to aggregates of size up to
-    2^k_pairs.
-    """
-    from ... import native
-
+def _notay_match_py(A: CSRMatrix, first_pass: bool, k_tg: float
+                    ) -> Tuple[np.ndarray, int]:
+    """Python twin of native fasp_notay_match (reference: form_pairwise,
+    PreAMGAggregationUA.inl:170): matches i with the free neighbor
+    minimizing the Notay two-point measure mu, pairing when mu <= k_tg."""
+    m = A.to_scipy().tocsr()
     n = A.nrow
-    agg = np.arange(n, dtype=np.int64)
+    indptr, indices, data = m.indptr, m.indices, m.data
+    diag = A.diagonal()
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    off = indices != rows
+    s = -np.bincount(rows[off], data[off], minlength=n)
+    sabs = np.bincount(rows[off], np.abs(data[off]), minlength=n)
+    SMALL = 1e-20
+    agg = np.full(n, -1, dtype=np.int64)
+    if first_pass and k_tg > 1.0:
+        agg[diag >= (k_tg + 1.0) / (k_tg - 1.0) * sabs] = -2
+    nagg = 0
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        lo, hi = indptr[i], indptr[i + 1]
+        aii = diag[i]
+        min_mu, index = np.inf, -1
+        for p in range(lo, hi):
+            col = indices[p]
+            if col == i or agg[col] != -1:
+                continue
+            aij = data[p]
+            ajj = diag[col]
+            t1 = aii + s[i] + 2.0 * aij
+            t2 = ajj + s[col] + 2.0 * aij
+            t1 = t1 if abs(t1) > SMALL else (SMALL if t1 >= 0 else -SMALL)
+            t2 = t2 if abs(t2) > SMALL else (SMALL if t2 >= 0 else -SMALL)
+            t2 = 1.0 / t1 + 1.0 / t2
+            t2 = t2 if abs(t2) > SMALL else (SMALL if t2 >= 0 else -SMALL)
+            t3 = max(abs(aii - s[i]), SMALL)
+            t4 = max(abs(ajj - s[col]), SMALL)
+            t4 = -aij + 1.0 / (1.0 / t3 + 1.0 / t4)
+            t4 = t4 if abs(t4) > SMALL else (SMALL if t4 > 0 else -SMALL)
+            mu = (-aij + 1.0 / t2) / t4
+            if mu < min_mu:
+                min_mu, index = mu, col
+        agg[i] = nagg
+        if index >= 0 and min_mu <= k_tg:
+            agg[index] = nagg
+        nagg += 1
+    g0 = np.nonzero(agg == -2)[0]
+    agg[g0] = nagg + np.arange(len(g0))
+    return agg, nagg + len(g0)
+
+
+def effective_quality_bound(A: CSRMatrix, quality_bound: float) -> float:
+    """Reference rule (aggregation_symmpair, PreAMGAggregationUA.inl:380):
+    wide-band matrices relax the bound to the bandwidth (max row nnz)."""
+    bandwidth = int(A.row_nnz().max()) if A.nrow else 0
+    return float(bandwidth) if bandwidth > 5 else float(quality_bound)
+
+
+def _compose_passes(A: CSRMatrix, k_pairs: int, match_one
+                    ) -> Tuple[np.ndarray, int]:
+    """Run ``match_one(level_matrix, first_pass)`` per pass, composing the
+    per-pass maps through boolean-RAP coarse matrices (the dopass loop of
+    aggregation_symmpair)."""
     cur = A
     maps = []
-    for _ in range(k_pairs):
-        nat = native.pairwise_match(cur)
-        if nat is not None:
-            pair, nagg = nat
-            m = cur.to_scipy().tocsr()
-            nn = cur.nrow
-            maps.append((pair, nagg))
-            P = sp.csr_matrix((np.ones(nn), (np.arange(nn), pair)),
-                              shape=(nn, nagg))
-            cur = CSRMatrix.from_scipy((P.T @ m @ P).tocsr())
-            continue
-        m = cur.to_scipy().tocsr()
-        nn = cur.nrow
-        pair = np.full(nn, -1, dtype=np.int64)
-        nagg = 0
-        # visit in order of increasing diagonal dominance (reference visits
-        # least-dominant first for quality); simple natural order suffices
-        for i in range(nn):
-            if pair[i] != -1:
-                continue
-            s, e = m.indptr[i], m.indptr[i + 1]
-            best, bestv = -1, 0.0
-            for jj in range(s, e):
-                j = m.indices[jj]
-                if j == i or pair[j] != -1:
-                    continue
-                v = m.data[jj]
-                if v < bestv:           # strongest negative coupling
-                    best, bestv = j, v
-            pair[i] = nagg
-            if best >= 0:
-                pair[best] = nagg
-            nagg += 1
+    for it in range(k_pairs):
+        pair, nagg = match_one(cur, it == 0)
         maps.append((pair, nagg))
-        # build coarse matrix for next matching round
-        P = sp.csr_matrix((np.ones(nn), (np.arange(nn), pair)),
-                          shape=(nn, nagg))
-        cur = CSRMatrix.from_scipy((P.T @ m @ P).tocsr())
-    # compose maps
+        if nagg >= cur.nrow or it == k_pairs - 1:
+            break
+        cur = _rap_boolean(cur, pair, nagg)
     agg = maps[0][0].copy()
     for pair, _ in maps[1:]:
         agg = pair[agg]
     return agg, maps[-1][1]
+
+
+def aggregate_pairwise(A: CSRMatrix, k_pairs: int = 2,
+                       quality_bound: float = 8.0) -> Tuple[np.ndarray, int]:
+    """(Multi-)pairwise matching aggregation with the Notay quality bound
+    (reference: aggregation_symmpair + form_pairwise,
+    PreAMGAggregationUA.inl:363,170).  ``k_pairs`` matching passes compose
+    to aggregates of size up to 2^k_pairs; each candidate pair must clear
+    the two-point quality measure mu <= quality_bound (bandwidth-adjusted
+    per the reference rule)."""
+    from ... import native
+
+    k_tg = effective_quality_bound(A, quality_bound)
+
+    def match_one(cur, first):
+        out = native.notay_match(cur, first, k_tg)
+        if out is None:
+            out = _notay_match_py(cur, first, k_tg)
+        return out
+
+    return _compose_passes(A, k_pairs, match_one)
+
+
+def aggregate_nsympair(A: CSRMatrix, k_pairs: int = 2,
+                       quality_bound: float = 8.0) -> Tuple[np.ndarray, int]:
+    """Non-symmetric pairwise matching aggregation (reference:
+    aggregation_nsympair, PreAMGAggregationUA.inl:1202 — Napov/Notay 2012
+    measure on the symmetrized coupling -0.5(a_ij+a_ji)).
+
+    Later passes apply the first-pass rule to the composed coarse matrix
+    (documented deviation: the reference's nsympair_2ndpass re-derives the
+    measure from the original matrix).  Callers apply the reference's
+    auto-fallback to VMB when matching stalls (PreAMGSetupUA.c:244-256).
+    """
+    from ... import native
+
+    k_tg = effective_quality_bound(A, quality_bound)
+
+    def match_one(cur, first):
+        out = native.nsympair_match(cur, first, k_tg)
+        if out is None:
+            # no toolchain: symmetrize and use the Python Notay rule
+            sym = CSRMatrix.from_scipy(
+                ((cur.to_scipy() + cur.to_scipy().T) * 0.5).tocsr())
+            out = _notay_match_py(sym, first, k_tg)
+        return out
+
+    return _compose_passes(A, k_pairs, match_one)
 
 
 def _rap_boolean(A: CSRMatrix, agg: np.ndarray, nagg: int) -> CSRMatrix:
@@ -258,6 +325,34 @@ def aggregate_pairwise_fast(A: CSRMatrix, k_pairs: int = 2,
     if return_coarse:
         return agg, maps[-1][1], cur
     return agg, maps[-1][1]
+
+
+def aggregate(A: CSRMatrix, param, theta: float) -> Tuple[np.ndarray, int]:
+    """Dispatch one aggregation pass by ``param.aggregation_type``,
+    honoring the configured type (reference: amg_setup_unsmoothP_unsmoothR
+    switch, PreAMGSetupUA.c:225-270).  NPAIR auto-falls back to VMB when
+    matching stalls (:244-256).  The only substitution happens when no
+    native toolchain exists for a large system — and it warns."""
+    from ... import native
+
+    t = int(getattr(param, "aggregation_type", AggregationType.PAIRWISE))
+    n = A.nrow
+    if not native.available() and n > 20000:
+        import warnings
+        warnings.warn(
+            "faspsolver_tpu: no native toolchain — large-system aggregation "
+            f"uses the vectorized Luby matching path instead of the "
+            f"configured aggregation_type={t}", RuntimeWarning)
+        return aggregate_pairwise_fast(A, param.pair_number)
+    if t == int(AggregationType.VMB):
+        return aggregate_vmb(A, theta, param.max_aggregation)
+    if t == int(AggregationType.NPAIR):
+        agg, nagg = aggregate_nsympair(A, param.pair_number,
+                                       param.quality_bound)
+        if nagg * 2.0 > n:     # reference: NPAIR failed -> switch to VMB
+            return aggregate_vmb(A, theta, param.max_aggregation)
+        return agg, nagg
+    return aggregate_pairwise(A, param.pair_number, param.quality_bound)
 
 
 def tentative_prolongation(agg: np.ndarray, nagg: int) -> CSRMatrix:

@@ -173,6 +173,13 @@ def _nl_amli(hier: AMGHierarchy, l: int, b, x):
 
     A1 = levels[l + 1].A
     inner_steps = 2 if l + 1 < len(levels) - 1 and l < _W_UNROLL_CAP else 1
+    # UA setups store per-level visit counts from the complexity rule
+    # (PreAMGSetupUA.c:391-402); the reference's NL-AMLI consumes them to
+    # decide plain-recursion vs inner-Krylov per level
+    # (PreMGRecurAMLI.c:385)
+    if hier.level_visits and l + 1 < len(hier.level_visits):
+        inner_steps = min(inner_steps,
+                          max(1, int(hier.level_visits[l + 1])))
     ec = jnp.zeros(A1.shape[0], dtype=b.dtype)
     rr = rc
     for _ in range(inner_steps):

@@ -135,6 +135,11 @@ class AMGHierarchy:
                                          default=2)
     amli_coefs: Tuple[float, ...] = dataclasses.field(
         metadata=dict(static=True), default=())
+    # per-level coarse-visit counts (1=V-like, 2=W-like), set by the UA
+    # setup's complexity-based rule (reference: PreAMGSetupUA.c:391-402);
+    # empty = derive visits from cycle_type alone
+    level_visits: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True), default=())
 
     @property
     def num_levels(self) -> int:

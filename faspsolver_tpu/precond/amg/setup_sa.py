@@ -16,10 +16,7 @@ from ...constants import AggregationType
 from ...formats import CSRMatrix
 from ...ops.operators import EllOperator, default_dtype, device_operator
 from ...utils.params import AMGParam
-from .aggregation import (aggregate_pairwise, aggregate_pairwise_fast,
-                          aggregate_vmb, tentative_prolongation)
-
-_VECTORIZED_SETUP_THRESHOLD = 2000
+from .aggregation import aggregate, tentative_prolongation
 from .hierarchy import (AMGHierarchy, AMGLevel, CoarseSolver,
                         make_coarse_solver)
 from .smoothers import build_smoother
@@ -57,13 +54,7 @@ def setup_sa(A: CSRMatrix, param: Optional[AMGParam] = None,
     max_levels = min(param.max_levels, 20)
     while (len(host_levels) < max_levels
            and cur.nrow > max(param.coarse_dof, 1)):
-        if cur.nrow > _VECTORIZED_SETUP_THRESHOLD:
-            agg, nagg = aggregate_pairwise_fast(cur, param.pair_number)
-        elif param.aggregation_type == AggregationType.VMB:
-            agg, nagg = aggregate_vmb(cur, theta, param.max_aggregation)
-        else:
-            agg, nagg = aggregate_pairwise(cur, param.pair_number,
-                                           param.quality_bound)
+        agg, nagg = aggregate(cur, param, theta)
         if nagg >= 0.95 * cur.nrow:
             break
         Pt = tentative_prolongation(agg, nagg).to_scipy()

@@ -22,16 +22,11 @@ from ...formats import CSRMatrix
 from ...ops.operators import (DenseOperator, EllOperator, default_dtype,
                               device_operator)
 from ...utils.params import AMGParam
-from .aggregation import (aggregate_pairwise, aggregate_pairwise_fast,
-                          aggregate_vmb, tentative_prolongation)
+from .aggregation import _rap_boolean, aggregate, tentative_prolongation
 from .hierarchy import (AMGHierarchy, AMGLevel, CoarseSolver,
                         make_coarse_solver)
 from .smoothers import build_smoother
 from .transfer import AggProlong, AggRestrict
-
-# above this size the vectorized matching path replaces the Python-loop
-# greedy aggregators (identical algorithmic family, setup stays fast)
-_VECTORIZED_SETUP_THRESHOLD = 2000
 
 
 def setup_ua(A: CSRMatrix, param: Optional[AMGParam] = None,
@@ -57,27 +52,19 @@ def setup_ua(A: CSRMatrix, param: Optional[AMGParam] = None,
     max_levels = min(param.max_levels, 20)
     while (len(host_levels) < max_levels
            and cur.nrow > max(param.coarse_dof, 1)):
-        if cur.nrow > _VECTORIZED_SETUP_THRESHOLD:
-            agg, nagg, Ac = aggregate_pairwise_fast(
-                cur, param.pair_number, return_coarse=True)
-        elif param.aggregation_type == AggregationType.VMB:
-            agg, nagg = aggregate_vmb(cur, theta, param.max_aggregation)
-            Ac = None
-        else:
-            agg, nagg = aggregate_pairwise(cur, param.pair_number,
-                                           param.quality_bound)
-            Ac = None
+        agg, nagg = aggregate(cur, param, theta)
         if nagg >= 0.95 * cur.nrow:   # aggregation stalled -> stop here
             break
-        if Ac is None:
-            from .aggregation import _rap_boolean
-            Ac = _rap_boolean(cur, agg, nagg)
+        Ac = _rap_boolean(cur, agg, nagg)
         aggs.append((agg, nagg))
+        # adaptive per-level strength threshold
+        # (reference: PreAMGSetupUA.c:234-238)
+        if nagg * 4.0 > cur.nrow:
+            theta *= 0.5
+        elif nagg * 1.25 < cur.nrow:
+            theta *= 2.0
         host_levels.append(Ac)
         cur = Ac
-        # adaptive per-level strength relaxation
-        # (reference: PreAMGSetupUA.c:234-238)
-        theta = theta * 0.5
 
     return build_hierarchy_from_host(host_levels, aggs, param, dtype)
 
@@ -114,11 +101,39 @@ def build_hierarchy_from_host(host_levels: List[CSRMatrix],
         from .cycles import amli_coefs
         amli_c = amli_coefs(2.0, 0.5, param.amli_degree)
 
+    # UA cycle-robustness rule (reference: amg_setup_unsmoothP_unsmoothR
+    # tail, PreAMGSetupUA.c:110,384-402): per-level coarse-visit counts
+    # from the complexity formula xsi^lvl / (eta * fracratio * icum),
+    # clamped to [1,2], consumed by the NL-AMLI cycle
+    # (PreMGRecurAMLI.c:385); when the operator complexity exceeds
+    # cplxmax=3.0 a V-cycle request upgrades to nonlinear AMLI
+    # (SURVEY §2.5 UA row: complexity-based cycle upgrade).
+    from ...constants import CycleType
+    cycle_type = param.cycle_type
+    nnz0 = max(host_levels[0].nnz, 1)
+    op_cplx = sum(h.nnz for h in host_levels) / nnz0
+    cplxmax, xsi = 3.0, 0.6
+    if op_cplx > cplxmax and cycle_type == int(CycleType.V):
+        cycle_type = int(CycleType.NL_AMLI)
+    level_visits = ()
+    if nlvl > 2:
+        eta = xsi / ((1.0 - xsi) * (cplxmax - 1.0))
+        icum = 1
+        visits = [1]
+        for lvl in range(1, nlvl - 1):
+            frac = host_levels[lvl].nnz / nnz0
+            v = int(xsi ** lvl / (eta * frac * icum))
+            v = max(1, min(2, v))
+            visits.append(v)
+            icum *= v
+        level_visits = tuple(visits)
+
     return AMGHierarchy(
         levels=tuple(levels), coarse=coarse,
         presmooth_iter=param.presmooth_iter,
         postsmooth_iter=param.postsmooth_iter,
-        cycle_type=param.cycle_type,
+        cycle_type=cycle_type,
         coarse_scaling=bool(param.coarse_scaling),
         amli_degree=param.amli_degree,
-        amli_coefs=amli_c)
+        amli_coefs=amli_c,
+        level_visits=level_visits)

@@ -125,3 +125,78 @@ def test_hierarchy_complexity(fe):
     gc, oc = h.complexity()
     assert 1.0 < gc < 2.5
     assert 1.0 < oc < 4.0
+
+
+# ---------------------------------------------------------------------------
+# Aggregation honesty + quality machinery (reference: PreAMGSetupUA.c,
+# PreAMGAggregationUA.inl)
+# ---------------------------------------------------------------------------
+
+def test_aggregation_type_honored_above_2000(fe):
+    """A VMB request on FE-3969 must actually run VMB (no silent
+    size-threshold override): VMB neighborhood aggregates are larger than
+    quality-bounded pairs, so the coarse grid is visibly coarser."""
+    from faspsolver_tpu.precond.amg.aggregation import aggregate
+    A, _, _ = fe
+    p_vmb = AMGParam(aggregation_type=int(AggregationType.VMB))
+    p_pair = AMGParam(aggregation_type=int(AggregationType.PAIRWISE))
+    agg_v, nagg_v = aggregate(A, p_vmb, 0.08)
+    agg_p, nagg_p = aggregate(A, p_pair, 0.08)
+    assert nagg_v < nagg_p * 0.7        # distinct algorithms, distinct grids
+    assert agg_v.min() >= 0 and agg_p.min() >= 0
+    assert agg_v.max() + 1 == nagg_v and agg_p.max() + 1 == nagg_p
+
+
+def test_pairwise_quality_bound_used():
+    """Tightening quality_bound must refuse pairs.  Uses a 1-D Laplacian
+    (bandwidth 3 <= 5, so the bandwidth override of
+    aggregation_symmpair does not mask the configured bound); interior
+    pairs have Notay measure mu = 2, so bound 8 accepts and 1.5 refuses."""
+    from faspsolver_tpu.formats import CSRMatrix
+    from faspsolver_tpu.precond.amg.aggregation import aggregate_pairwise
+    import scipy.sparse as sp
+    n = 200
+    A = CSRMatrix.from_scipy(sp.diags(
+        [-np.ones(n - 1), 2 * np.ones(n), -np.ones(n - 1)],
+        [-1, 0, 1]).tocsr())
+    _, n_loose = aggregate_pairwise(A, 1, quality_bound=8.0)
+    _, n_tight = aggregate_pairwise(A, 1, quality_bound=1.5)
+    assert n_loose <= 0.55 * n           # nearly everything pairs
+    assert n_tight == n                  # every pair refused
+
+
+def test_npair_aggregation_solves(fe):
+    A, b, sol = fe
+    p = AMGParam(aggregation_type=int(AggregationType.NPAIR))
+    h = setup_ua(A, p, structured=False)
+    res = amg_solve(h, b, tol=1e-10, maxit=200)
+    assert bool(res.converged)
+    assert np.max(np.abs(np.asarray(res.x) - sol)) < 1e-4
+
+
+def test_npair_falls_back_to_vmb_on_stall():
+    """A diagonal matrix cannot pair (every row is G0/singleton); the NPAIR
+    path must auto-fall back to VMB (reference: PreAMGSetupUA.c:244-256)."""
+    from faspsolver_tpu.formats import CSRMatrix
+    from faspsolver_tpu.precond.amg.aggregation import (aggregate,
+                                                        aggregate_nsympair)
+    import scipy.sparse as sp
+    n = 64
+    A = CSRMatrix.from_scipy(sp.identity(n, format="csr"))
+    _, nagg_raw = aggregate_nsympair(A, 2, 8.0)
+    assert nagg_raw == n                 # matching stalls: all singletons
+    agg, nagg = aggregate(A, AMGParam(
+        aggregation_type=int(AggregationType.NPAIR)), 0.08)
+    assert nagg == n                     # VMB on diagonal = singletons too
+    assert agg.min() >= 0
+
+
+def test_ua_level_visits_rule(fe):
+    """UA setup records the complexity-based per-level visit counts
+    (reference: PreAMGSetupUA.c:391-402), each in {1, 2}, finest = 1."""
+    A, _, _ = fe
+    h = setup_ua(A, AMGParam(), structured=False)
+    if h.num_levels > 2:
+        assert h.level_visits
+        assert h.level_visits[0] == 1
+        assert all(v in (1, 2) for v in h.level_visits)
