@@ -90,6 +90,21 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fasp_rs_cf_split.restype = ctypes.c_int
         lib.fasp_rs_cf_split.argtypes = [ctypes.c_int, _i32p, _i32p,
                                          _i32p, _i32p, _i32p]
+        lib.fasp_rs_ff_pass.restype = ctypes.c_int
+        lib.fasp_rs_ff_pass.argtypes = [ctypes.c_int, _i32p, _i32p, _i32p]
+        lib.fasp_strength_graph.restype = ctypes.c_int64
+        lib.fasp_strength_graph.argtypes = [ctypes.c_int, _i32p, _i32p,
+                                            _f64p, ctypes.c_double,
+                                            ctypes.c_double, _i32p, _i32p]
+        lib.fasp_rs_cf_split2.restype = ctypes.c_int
+        lib.fasp_rs_cf_split2.argtypes = [ctypes.c_int, _i32p, _i32p, _i32p]
+        lib.fasp_interp_std.restype = ctypes.c_int
+        lib.fasp_interp_std.argtypes = [ctypes.c_int, _i32p, _i32p, _f64p,
+                                        _i32p, _i32p, _i32p, ctypes.c_int,
+                                        _i32p, _i32p, _f64p, ctypes.c_int64]
+        lib.fasp_fgs_sweeps.restype = ctypes.c_int
+        lib.fasp_fgs_sweeps.argtypes = [ctypes.c_int, _i32p, _i32p, _f64p,
+                                        _i32p, _f64p, ctypes.c_int]
         _f32p = np.ctypeslib.ndpointer(dtype=np.float32,
                                        flags="C_CONTIGUOUS")
         # band kernels are 3-D only; 2-D calls route through them with nz=1
@@ -254,6 +269,84 @@ def rs_cf_split(S) -> Optional[np.ndarray]:
     cf = np.empty(n, dtype=np.int32)
     lib.fasp_rs_cf_split(n, s_indptr, s_indices, st_indptr, st_indices, cf)
     return cf
+
+
+def strength_graph(A, theta: float, max_row_sum: float):
+    """Strength CSR (indptr, indices) — data is implicitly all-ones."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices, data, n = _csr_arrays(A.to_scipy())
+    s_indptr = np.zeros(n + 1, dtype=np.int32)
+    s_indices = np.empty(max(len(indices), 1), dtype=np.int32)
+    snnz = lib.fasp_strength_graph(n, indptr, indices, data,
+                                   float(theta), float(max_row_sum),
+                                   s_indptr, s_indices)
+    return s_indptr, s_indices[:snnz]
+
+
+def rs_cf_split2(s_indptr, s_indices, n: int) -> Optional[np.ndarray]:
+    """Bucket-list classical RS first pass (S^T built internally)."""
+    lib = _load()
+    if lib is None:
+        return None
+    cf = np.empty(n, dtype=np.int32)
+    lib.fasp_rs_cf_split2(
+        n, np.ascontiguousarray(s_indptr, dtype=np.int32),
+        np.ascontiguousarray(s_indices, dtype=np.int32), cf)
+    return cf
+
+
+def rs_ff_pass(S, cf: np.ndarray) -> Optional[np.ndarray]:
+    """RS pass 2: promote F points whose strong F-F pair shares no C.
+    cf: int array (1=C, 0=F, 2=isolated); returns the updated copy."""
+    lib = _load()
+    if lib is None:
+        return None
+    s_indptr, s_indices, _, n = _csr_arrays(S)
+    out = np.ascontiguousarray(cf, dtype=np.int32).copy()
+    lib.fasp_rs_ff_pass(n, s_indptr, s_indices, out)
+    return out
+
+
+def interp_std(A, cf: np.ndarray, S, mode: int
+               ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Interpolation triplets (rows, coarse cols, vals).
+    mode: 0 = standard, 1 = ext+i, 2 = direct."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = A.to_scipy().tocsr()
+    indptr, indices, data, n = _csr_arrays(m)
+    Sr = S.tocsr()
+    s_indptr = np.ascontiguousarray(Sr.indptr, dtype=np.int32)
+    s_indices = np.ascontiguousarray(Sr.indices, dtype=np.int32)
+    cf32 = np.ascontiguousarray(cf, dtype=np.int32)
+    cap = max(int(m.nnz * 2) + n + 16, 256)
+    for _ in range(6):
+        p_rows = np.empty(cap, dtype=np.int32)
+        p_cols = np.empty(cap, dtype=np.int32)
+        p_vals = np.empty(cap, dtype=np.float64)
+        nnz = lib.fasp_interp_std(n, indptr, indices, data, cf32,
+                                  s_indptr, s_indices, int(mode),
+                                  p_rows, p_cols, p_vals, cap)
+        if nnz >= 0:
+            return p_rows[:nnz], p_cols[:nnz], p_vals[:nnz]
+        cap *= 4
+    return None
+
+
+def fgs_sweeps(A, marker: np.ndarray, e: np.ndarray, sweeps: int
+               ) -> Optional[np.ndarray]:
+    """F-point GS sweeps on A e = 0 (CR habituation smoother)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices, data, n = _csr_arrays(A.to_scipy())
+    mk = np.ascontiguousarray(marker, dtype=np.int32)
+    out = np.ascontiguousarray(e, dtype=np.float64).copy()
+    lib.fasp_fgs_sweeps(n, indptr, indices, data, mk, out, int(sweeps))
+    return out
 
 
 def band_matmul_3d(dims, coords_a, bands_a, coords_b, bands_b):

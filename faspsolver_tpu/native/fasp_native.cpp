@@ -460,6 +460,364 @@ int fasp_rs_cf_split(int n, const int32_t* s_indptr, const int32_t* s_indices,
 }
 
 // ---------------------------------------------------------------------------
+// Strength-of-connection graph (reference: strong_couplings,
+// PreAMGCoarsenRS.c): S[i][j] present iff a_ij < 0, -a_ij >= theta *
+// max_k(-a_ik), and row i is not diagonally dominated (max_row_sum rule).
+// Fills s_indptr[n+1] / s_indices (caller sizes s_indices to nnz(A)).
+// Returns nnz(S).
+// ---------------------------------------------------------------------------
+int64_t fasp_strength_graph(int n, const int32_t* indptr,
+                            const int32_t* indices, const double* data,
+                            double theta, double max_row_sum,
+                            int32_t* s_indptr, int32_t* s_indices) {
+    int64_t snnz = 0;
+    s_indptr[0] = 0;
+    for (int i = 0; i < n; ++i) {
+        double row_max = 0.0, offsum = 0.0, diag = 0.0;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int32_t j = indices[p];
+            if (j == i) { diag = data[p]; continue; }
+            const double v = data[p];
+            if (-v > row_max) row_max = -v;
+            offsum += std::fabs(v);
+        }
+        const bool isolated = offsum <= (1.0 - max_row_sum) * std::fabs(diag);
+        if (!isolated && row_max > 0.0) {
+            const double cut = std::max(theta * row_max, 1e-300);
+            for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+                const int32_t j = indices[p];
+                if (j == i) continue;
+                if (-data[p] >= cut && data[p] < 0)
+                    s_indices[snnz++] = j;
+            }
+        }
+        s_indptr[i + 1] = (int32_t)snnz;
+    }
+    return snnz;
+}
+
+// ---------------------------------------------------------------------------
+// Classical RS first pass with bucket-list priorities (reference:
+// cfsplitting_cls with the linked-list buckets of PreAMGUtil.inl:20-296).
+// Computes S^T internally by counting sort.  cf[n] out: 1=C, 0=F.
+// Deterministic O(n + nnz); replaces the lazy-heap variant for large n.
+// ---------------------------------------------------------------------------
+int fasp_rs_cf_split2(int n, const int32_t* s_indptr,
+                      const int32_t* s_indices, int32_t* cf) {
+    // transpose of S by counting sort
+    std::vector<int32_t> st_indptr(n + 1, 0), st_indices(s_indptr[n]);
+    for (int64_t p = 0; p < s_indptr[n]; ++p) ++st_indptr[s_indices[p] + 1];
+    for (int i = 0; i < n; ++i) st_indptr[i + 1] += st_indptr[i];
+    {
+        std::vector<int32_t> cursor(st_indptr.begin(), st_indptr.end() - 1);
+        for (int i = 0; i < n; ++i)
+            for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p)
+                st_indices[cursor[s_indices[p]]++] = i;
+    }
+
+    // doubly-linked bucket lists keyed by lambda
+    std::vector<int32_t> lambda(n), nxt(n, -1), prv(n, -1);
+    int32_t max_lam = 0;
+    for (int i = 0; i < n; ++i) {
+        lambda[i] = st_indptr[i + 1] - st_indptr[i];
+        if (lambda[i] > max_lam) max_lam = lambda[i];
+    }
+    // head per lambda value; lambda can grow to at most n-1
+    std::vector<int32_t> head(n + 2, -1);
+    auto detach = [&](int32_t i) {
+        if (prv[i] >= 0) nxt[prv[i]] = nxt[i];
+        else head[lambda[i]] = nxt[i];
+        if (nxt[i] >= 0) prv[nxt[i]] = prv[i];
+        prv[i] = nxt[i] = -1;
+    };
+    auto attach = [&](int32_t i) {
+        const int32_t l = lambda[i];
+        prv[i] = -1;
+        nxt[i] = head[l];
+        if (head[l] >= 0) prv[head[l]] = i;
+        head[l] = i;
+        if (l > max_lam) max_lam = l;
+    };
+    const int32_t UNDECIDED = -1;
+    for (int i = 0; i < n; ++i) cf[i] = UNDECIDED;
+    for (int i = 0; i < n; ++i) attach(i);
+
+    int32_t cur = max_lam;
+    int remaining = n;
+    while (remaining > 0) {
+        while (cur > 0 && head[cur] < 0) --cur;
+        if (cur <= 0) break;      // only lambda-0 nodes left
+        const int32_t i = head[cur];
+        detach(i);
+        cf[i] = 1;                // C point
+        --remaining;
+        for (int32_t p = st_indptr[i]; p < st_indptr[i + 1]; ++p) {
+            const int32_t j = st_indices[p];
+            if (cf[j] != UNDECIDED) continue;
+            detach(j);
+            cf[j] = 0;            // F point
+            --remaining;
+            for (int32_t q = s_indptr[j]; q < s_indptr[j + 1]; ++q) {
+                const int32_t k = s_indices[q];
+                if (cf[k] != UNDECIDED) continue;
+                detach(k);
+                ++lambda[k];
+                attach(k);
+                if (lambda[k] > cur) cur = lambda[k];
+            }
+        }
+        for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+            const int32_t k = s_indices[p];
+            if (cf[k] != UNDECIDED || lambda[k] <= 0) continue;
+            detach(k);
+            --lambda[k];
+            attach(k);
+        }
+    }
+    // leftovers (lambda 0): F when strongly depending on a C point,
+    // C otherwise (isolated handled by the caller)
+    int nc = 0;
+    for (int i = 0; i < n; ++i) {
+        if (cf[i] == UNDECIDED) {
+            cf[i] = 1;
+            for (int32_t q = s_indptr[i]; q < s_indptr[i + 1]; ++q)
+                if (cf[s_indices[q]] == 1) { cf[i] = 0; break; }
+        }
+        if (cf[i] == 1) ++nc;
+    }
+    return nc;
+}
+
+// ---------------------------------------------------------------------------
+// Ruge-Stuben second pass (reference: cfsplitting_cls pass 2 /
+// clean_ff_couplings, PreAMGCoarsenRS.c): every strong F-F pair must share
+// a common interpolatory C point; pairs that do not promote the first
+// endpoint to C.  cf in/out: 1=C, 0=F, 2=isolated.  Returns #promotions.
+// ---------------------------------------------------------------------------
+int fasp_rs_ff_pass(int n, const int32_t* s_indptr, const int32_t* s_indices,
+                    int32_t* cf) {
+    std::vector<int32_t> stamp(n, -1);
+    int promoted = 0;
+    for (int i = 0; i < n; ++i) {
+        if (cf[i] != 0) continue;
+        // stamp i's strong C points
+        for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+            const int32_t j = s_indices[p];
+            if (cf[j] == 1) stamp[j] = i;
+        }
+        for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+            const int32_t j = s_indices[p];
+            if (cf[j] != 0) continue;
+            bool share = false;
+            for (int32_t q = s_indptr[j]; q < s_indptr[j + 1]; ++q) {
+                const int32_t k = s_indices[q];
+                if (cf[k] == 1 && stamp[k] == i) { share = true; break; }
+            }
+            if (!share) { cf[i] = 1; ++promoted; break; }
+        }
+    }
+    return promoted;
+}
+
+// ---------------------------------------------------------------------------
+// Standard / extended(+i) interpolation row kernels (reference:
+// interp_STD / interp_EXT, PreAMGInterp.c).  Strong F-F couplings are
+// eliminated by substituting the F neighbour's row: the standard rule
+// distributes a_ij over j's negative off-diagonals, ext+i only over j's
+// coarse neighbours and the point i itself.  Emits COO triplets with
+// coarse column indices; returns nnz, or -1 when cap is too small.
+// cf: 1=C, 0=F, 2=isolated.
+// ---------------------------------------------------------------------------
+int fasp_interp_std(int n, const int32_t* indptr, const int32_t* indices,
+                    const double* data, const int32_t* cf,
+                    const int32_t* s_indptr, const int32_t* s_indices,
+                    int ext_mode,
+                    int32_t* p_rows, int32_t* p_cols, double* p_vals,
+                    int64_t cap) {
+    // coarse index map
+    std::vector<int32_t> cidx(n, -1);
+    int32_t nc = 0;
+    for (int i = 0; i < n; ++i)
+        if (cf[i] == 1) cidx[i] = nc++;
+
+    std::vector<double> w(n, 0.0);       // accumulator row a_hat
+    std::vector<int32_t> pos(n, -1);     // position stamp: touched marker
+    std::vector<int32_t> touched;        // touched columns, append order
+    std::vector<int8_t> strong(n, 0);    // strong-neighbour flag for row i
+    touched.reserve(64);
+
+    int64_t nnz = 0;
+    for (int i = 0; i < n; ++i) {
+        if (cf[i] == 1) {
+            if (nnz >= cap) return -1;
+            p_rows[nnz] = i;
+            p_cols[nnz] = cidx[i];
+            p_vals[nnz] = 1.0;
+            ++nnz;
+            continue;
+        }
+        if (cf[i] == 2) continue;        // isolated: no interpolation row
+
+        if (ext_mode == 2) {
+            // direct interpolation (reference: interp_DIR): no F-F
+            // elimination — split the original row over its strong C set
+            for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p)
+                strong[s_indices[p]] = 1;
+            double aii = 1.0, sum_neg = 0.0, sum_pos = 0.0;
+            double sum_negC = 0.0, sum_posC = 0.0;
+            for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+                const int32_t j = indices[p];
+                const double v = data[p];
+                if (j == i) { aii = (v != 0.0) ? v : 1.0; continue; }
+                if (v < 0) {
+                    sum_neg += v;
+                    if (strong[j] && cf[j] == 1) sum_negC += v;
+                } else if (v > 0) {
+                    sum_pos += v;
+                    if (strong[j] && cf[j] == 1) sum_posC += v;
+                }
+            }
+            const double alpha = (sum_negC != 0.0) ? sum_neg / sum_negC : 0.0;
+            double beta = 0.0;
+            if (sum_posC != 0.0) beta = sum_pos / sum_posC;
+            else aii += sum_pos;         // fold positive mass
+            if (aii == 0.0) aii = 1.0;
+            for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+                const int32_t j = indices[p];
+                const double v = data[p];
+                if (j == i || v == 0.0 || !strong[j] || cf[j] != 1) continue;
+                const double coef = (v < 0) ? alpha : beta;
+                const double pv = -coef * v / aii;
+                if (pv == 0.0) continue;
+                if (nnz >= cap) return -1;
+                p_rows[nnz] = i;
+                p_cols[nnz] = cidx[j];
+                p_vals[nnz] = pv;
+                ++nnz;
+            }
+            for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p)
+                strong[s_indices[p]] = 0;
+            continue;
+        }
+
+        // load row i into the accumulator
+        touched.clear();
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int32_t j = indices[p];
+            if (pos[j] < 0) { pos[j] = 1; touched.push_back(j); }
+            w[j] += data[p];
+        }
+        for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p)
+            strong[s_indices[p]] = 1;
+
+        // eliminate strong F-F couplings present in the ORIGINAL row of i
+        // (iterate a snapshot: Python twin iterates list(acc.keys()) which
+        // at that point is exactly row i's columns)
+        const size_t row_cols = touched.size();
+        for (size_t t = 0; t < row_cols; ++t) {
+            const int32_t j = touched[t];
+            if (j == i || cf[j] != 0 || !strong[j]) continue;
+            const double aij = w[j];
+            w[j] = 0.0;                 // pop
+            double denom = 0.0;
+            if (ext_mode) {
+                for (int32_t q = indptr[j]; q < indptr[j + 1]; ++q) {
+                    const int32_t k = indices[q];
+                    if (data[q] < 0 && (cf[k] == 1 || k == i)) denom += data[q];
+                }
+            } else {
+                for (int32_t q = indptr[j]; q < indptr[j + 1]; ++q) {
+                    const int32_t k = indices[q];
+                    if (k != j && data[q] < 0) denom += data[q];
+                }
+            }
+            if (denom == 0.0) {
+                if (pos[i] < 0) { pos[i] = 1; touched.push_back(i); }
+                w[i] += aij;
+                continue;
+            }
+            const double wgt = aij / denom;
+            for (int32_t q = indptr[j]; q < indptr[j + 1]; ++q) {
+                const int32_t k = indices[q];
+                const bool keep = ext_mode
+                    ? (data[q] < 0 && (cf[k] == 1 || k == i))
+                    : (k != j && data[q] < 0);
+                if (!keep) continue;
+                if (pos[k] < 0) { pos[k] = 1; touched.push_back(k); }
+                w[k] += wgt * data[q];
+            }
+        }
+
+        // split the eliminated row
+        double aii = 1.0;
+        bool have_diag = false;
+        double negsum = 0.0, possum = 0.0, negC = 0.0, posC = 0.0;
+        for (const int32_t j : touched) {
+            const double v = w[j];
+            if (j == i) { aii = v; have_diag = true; continue; }
+            if (v == 0.0) continue;
+            if (v < 0) {
+                negsum += v;
+                if (cf[j] == 1) negC += v;
+            } else {
+                possum += v;
+                if (cf[j] == 1) posC += v;
+            }
+        }
+        if (!have_diag) aii = 1.0;
+        const double alpha = (negC != 0.0) ? negsum / negC : 0.0;
+        double beta = 0.0;
+        if (posC != 0.0) beta = possum / posC;
+        else aii += possum;             // fold positive mass into diagonal
+        if (aii == 0.0) aii = 1.0;
+
+        for (const int32_t j : touched) {
+            const double v = w[j];
+            if (j != i && v != 0.0 && cf[j] == 1) {
+                const double coef = (v < 0) ? alpha : beta;
+                const double pv = -coef * v / aii;
+                if (pv != 0.0) {
+                    if (nnz >= cap) return -1;
+                    p_rows[nnz] = i;
+                    p_cols[nnz] = cidx[j];
+                    p_vals[nnz] = pv;
+                    ++nnz;
+                }
+            }
+        }
+
+        // reset workspaces
+        for (const int32_t j : touched) { w[j] = 0.0; pos[j] = -1; }
+        for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p)
+            strong[s_indices[p]] = 0;
+    }
+    return (int)nnz;
+}
+
+// ---------------------------------------------------------------------------
+// F-point Gauss-Seidel sweeps on A e = 0 with C values pinned to zero
+// (reference: fasp_smoother_dcsr_gscr, ItrSmootherCSRcr.c — the
+// compatible-relaxation habituation smoother).  marker: 0 = F (updated).
+// ---------------------------------------------------------------------------
+int fasp_fgs_sweeps(int n, const int32_t* indptr, const int32_t* indices,
+                    const double* data, const int32_t* marker, double* e,
+                    int sweeps) {
+    for (int sw = 0; sw < sweeps; ++sw) {
+        for (int i = 0; i < n; ++i) {
+            if (marker[i] != 0) continue;
+            double acc = 0.0, diag = 1.0;
+            for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+                const int32_t j = indices[p];
+                if (j == i) diag = (data[p] != 0.0) ? data[p] : 1.0;
+                else acc += data[p] * e[j];
+            }
+            e[i] = -acc / diag;
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Notay quality-bounded pairwise matching (reference: form_pairwise,
 // PreAMGAggregationUA.inl:170 — Napov & Notay 2011).  Matches each
 // unaggregated node with the free neighbour minimizing the two-point

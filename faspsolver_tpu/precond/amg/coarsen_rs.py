@@ -32,26 +32,41 @@ def strong_couplings(A: CSRMatrix, theta: float,
     Rows whose off-diagonal mass is negligible relative to the diagonal
     (max_row_sum criterion) get no strong couplings (isolated).
     """
-    m = A.to_scipy().tocsr()
+    from ... import native
     n = A.nrow
-    coo = m.tocoo()
-    off = coo.row != coo.col
-    neg = np.where(off, -coo.data, 0.0)       # -a_ij for off-diagonals
+    nat = native.strength_graph(A, theta, max_row_sum)
+    if nat is not None:
+        s_indptr, s_indices = nat
+        return sp.csr_matrix((np.ones(len(s_indices)), s_indices, s_indptr),
+                             shape=A.shape)
+    m = A.to_scipy().tocsr()
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(m.indptr))
+    off = m.indices != rows
+    neg = np.where(off, -m.data, 0.0)         # -a_ij for off-diagonals
 
-    # per-row max of (-a_ij)
+    # per-row max of (-a_ij) / abs off-diagonal sums via segment reduceat
+    # (row-sorted CSR layout — no scattered .at updates)
+    starts = m.indptr[:-1].astype(np.int64)
+    nonempty = starts < m.indptr[1:]
     row_max = np.zeros(n)
-    np.maximum.at(row_max, coo.row, neg)
+    offsum = np.zeros(n)
+    if m.nnz:
+        rm = np.maximum.reduceat(neg, np.minimum(starts, m.nnz - 1))
+        os_ = np.add.reduceat(np.where(off, np.abs(m.data), 0.0),
+                              np.minimum(starts, m.nnz - 1))
+        row_max[nonempty] = rm[nonempty]
+        offsum[nonempty] = os_[nonempty]
 
     # rows dominated by their diagonal: drop all couplings
     d = np.abs(A.diagonal())
-    offsum = np.zeros(n)
-    np.add.at(offsum, coo.row, np.where(off, np.abs(coo.data), 0.0))
     isolated = offsum <= (1.0 - max_row_sum) * d
 
-    keep = off & (neg >= theta * np.maximum(row_max[coo.row], 1e-300)) \
-        & (neg > 0) & (~isolated[coo.row])
-    S = sp.csr_matrix((np.ones(np.count_nonzero(keep)),
-                       (coo.row[keep], coo.col[keep])), shape=A.shape)
+    keep = off & (neg >= theta * np.maximum(row_max[rows], 1e-300)) \
+        & (neg > 0) & (~isolated[rows])
+    nk = np.count_nonzero(keep)
+    counts = np.bincount(rows[keep], minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    S = sp.csr_matrix((np.ones(nk), m.indices[keep], indptr), shape=A.shape)
     return S
 
 
@@ -61,6 +76,21 @@ def cf_split_rs(A: CSRMatrix, S: sp.csr_matrix) -> np.ndarray:
     PreAMGUtil.inl:20-296).  Returns vertex marker array
     (CGPT=1 / FGPT=0 / ISPT=2)."""
     n = A.nrow
+    from ... import native
+    nat = native.rs_cf_split2(S.indptr, S.indices, n)
+    if nat is not None:
+        # native first pass (heap worklist) + native F-F second pass —
+        # the compiled twin of the Python loops below (same 1=C/0=F
+        # contract; isolated points detected here)
+        marker = nat.astype(np.int64)
+        deg_out = np.diff(S.indptr)
+        deg_in = np.bincount(S.indices, minlength=n)
+        marker[(deg_out == 0) & (deg_in == 0)] = ISPT
+        out = native.rs_ff_pass(S, marker)
+        if out is not None:
+            return out.astype(np.int64)
+        marker[marker == ISPT] = -1        # fall through to Python pass 2
+
     ST = S.T.tocsr()                       # points influenced by i
     lam = np.diff(ST.indptr).astype(np.int64).copy()   # |S^T_i|
     marker = np.full(n, -1, dtype=np.int64)
@@ -171,7 +201,12 @@ def cf_split_cr(A: CSRMatrix, S: sp.csr_matrix, nu: int = 4,
     marker = np.full(n, FGPT, dtype=np.int64)
 
     def fgs_sweeps(e, sweeps):
-        """F-point GS on A e = 0 (the gscr smoother), C values pinned 0."""
+        """F-point GS on A e = 0 (the gscr smoother), C values pinned 0.
+        Native kernel when available; Python twin otherwise."""
+        from ... import native
+        out = native.fgs_sweeps(A, marker, e, sweeps)
+        if out is not None:
+            return out
         for _ in range(sweeps):
             for i in range(n):
                 if marker[i] != FGPT:

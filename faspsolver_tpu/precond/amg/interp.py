@@ -65,6 +65,17 @@ def interp_energymin(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix,
     return CSRMatrix.from_scipy(P)
 
 
+def _csr_from_sorted_triplets(pr, pc, pv, n: int, nc: int) -> CSRMatrix:
+    """CSR from row-sorted COO triplets (the native interp kernels emit
+    rows in ascending order with no duplicates): indptr by bincount —
+    skips scipy's duplicate-sum lexsort."""
+    counts = np.bincount(pr, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    mat = sp.csr_matrix((pv, pc.astype(np.int32), indptr), shape=(n, nc))
+    mat.sort_indices()
+    return CSRMatrix.from_scipy(mat)
+
+
 def _coarse_index(cf_marker: np.ndarray) -> np.ndarray:
     idx = np.full(len(cf_marker), -1, dtype=np.int64)
     cpts = np.nonzero(cf_marker == CGPT)[0]
@@ -91,6 +102,11 @@ def interp_direct(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
     n = A.nrow
     cidx = _coarse_index(cf_marker)
     nc = int((cf_marker == CGPT).sum())
+    from ... import native
+    nat = native.interp_std(A, cf_marker, S, mode=2)
+    if nat is not None:
+        pr, pc, pv = nat
+        return _csr_from_sorted_triplets(pr, pc, pv, n, nc)
     m = A.to_scipy().tocsr()
     Sr = S.tocsr()
 
@@ -148,10 +164,19 @@ def interp_standard(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
                     ) -> CSRMatrix:
     """Standard interpolation (reference: interp_STD, PreAMGInterp.c):
     strong F-F connections are eliminated by substituting the F neighbor's
-    own equation, then the result is collapsed onto the coarse set."""
+    own equation, then the result is collapsed onto the coarse set.
+
+    Compiled path: native fasp_interp_std (row loops in C++, the same cost
+    model as the reference's compiled setup); the Python loop below is the
+    toolchain-free twin."""
     n = A.nrow
     cidx = _coarse_index(cf_marker)
     nc = int((cf_marker == CGPT).sum())
+    from ... import native
+    nat = native.interp_std(A, cf_marker, S, mode=0)
+    if nat is not None:
+        pr, pc, pv = nat
+        return _csr_from_sorted_triplets(pr, pc, pv, n, nc)
     m = A.to_scipy().tocsr()
     Sr = S.tocsr()
 
@@ -224,10 +249,18 @@ def interp_extended(A: CSRMatrix, cf_marker: np.ndarray, S: sp.csr_matrix
     only over j's coarse neighbors *and the point i itself*, not over all
     of j's negative neighbors (which is the standard scheme's rule).  This
     keeps the interpolatory set to distance-2 C points and is the robust
-    choice with aggressive coarsening."""
+    choice with aggressive coarsening.
+
+    Compiled path: native fasp_interp_std with ext_mode=1; Python twin
+    below."""
     n = A.nrow
     cidx = _coarse_index(cf_marker)
     nc = int((cf_marker == CGPT).sum())
+    from ... import native
+    nat = native.interp_std(A, cf_marker, S, mode=1)
+    if nat is not None:
+        pr, pc, pv = nat
+        return _csr_from_sorted_triplets(pr, pc, pv, n, nc)
     m = A.to_scipy().tocsr()
     Sr = S.tocsr()
 
@@ -299,14 +332,28 @@ def truncate(P: CSRMatrix, eps: float) -> CSRMatrix:
         return P
     m = P.to_scipy().tocsr()
     n = P.nrow
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(m.indptr))
+    counts = np.diff(m.indptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
     absd = np.abs(m.data)
+    # per-row max / sums via segment reduceat on the row-sorted layout
+    starts = np.minimum(m.indptr[:-1].astype(np.int64), max(m.nnz - 1, 0))
+    nonempty = counts > 0
     rmax = np.zeros(n)
-    np.maximum.at(rmax, rows, absd)
+    tot = np.zeros(n)
+    if m.nnz:
+        rmax[nonempty] = np.maximum.reduceat(absd, starts)[nonempty]
+        tot[nonempty] = np.add.reduceat(m.data, starts)[nonempty]
     keep = absd >= eps * rmax[rows]
-    tot = np.bincount(rows, m.data, minlength=n)
-    ks = np.bincount(rows[keep], m.data[keep], minlength=n)
+    ks = np.zeros(n)
+    if m.nnz:
+        kept = np.where(keep, m.data, 0.0)
+        ks[nonempty] = np.add.reduceat(kept, starts)[nonempty]
     scale = np.where(ks != 0.0, tot / np.where(ks != 0.0, ks, 1.0), 1.0)
+    new_counts = np.zeros(n, dtype=np.int64)
+    if m.nnz:
+        kc = np.where(keep, 1, 0)
+        new_counts[nonempty] = np.add.reduceat(kc, starts)[nonempty]
+    indptr = np.concatenate([[0], np.cumsum(new_counts)])
     out = sp.csr_matrix((m.data[keep] * scale[rows[keep]],
-                         (rows[keep], m.indices[keep])), shape=P.shape)
+                         m.indices[keep], indptr), shape=P.shape)
     return CSRMatrix.from_scipy(out)

@@ -85,10 +85,8 @@ def _ell_rows(A: CSRMatrix, rows: np.ndarray, dtype, drop_diag=True):
     """Gather selected rows of A into a dense (len(rows), k) ELL block."""
     sub = A.to_scipy()[rows, :].tocsr()
     if drop_diag:
-        sub = sub.tolil()
-        for i, r in enumerate(rows):
-            sub[i, r] = 0.0
-        sub = sub.tocsr()
+        rr = np.repeat(np.arange(len(rows)), np.diff(sub.indptr))
+        sub.data[sub.indices == np.asarray(rows)[rr]] = 0.0
         sub.eliminate_zeros()
     nnz_per_row = np.diff(sub.indptr)
     k = max(int(nnz_per_row.max()) if len(rows) else 0, 1)

@@ -200,3 +200,62 @@ def test_ua_level_visits_rule(fe):
         assert h.level_visits
         assert h.level_visits[0] == 1
         assert all(v in (1, 2) for v in h.level_visits)
+
+
+# ---------------------------------------------------------------------------
+# Compiled general-path RS setup (native C++ row kernels; VERDICT r1 #4)
+# ---------------------------------------------------------------------------
+
+def test_native_interp_parity_with_python(fe):
+    """Native fasp_interp_std (direct/standard/ext+i) must match the
+    Python twins exactly."""
+    from faspsolver_tpu import native
+    from faspsolver_tpu.precond.amg import interp as I
+    from faspsolver_tpu.precond.amg import coarsen_rs as C
+    if not native.available():
+        pytest.skip("no native toolchain")
+    A, _, _ = fe
+    S = C.strong_couplings(A, 0.25)
+    cf = C.cf_split_rs(A, S)
+    for fn in (I.interp_direct, I.interp_standard, I.interp_extended):
+        Pn = fn(A, cf, S)
+        orig = native.interp_std
+        native.interp_std = lambda *a, **k: None
+        try:
+            Pp = fn(A, cf, S)
+        finally:
+            native.interp_std = orig
+        d = abs(Pn.to_scipy() - Pp.to_scipy())
+        assert Pn.nnz == Pp.nnz
+        assert (d.max() if d.nnz else 0.0) < 1e-12
+
+
+def test_rs_general_path_scales():
+    """General (unstructured-path) RS-AMG on a 65k-dof problem: setup must
+    be compiled-speed (seconds, not minutes) and converge like classical
+    AMG.  Guards the VERDICT r1 finding that Python row loops capped the
+    general path at toy sizes."""
+    import time
+    from faspsolver_tpu.precond.amg import amg_solve, setup_rs
+    from faspsolver_tpu.testgen import poisson_2d_manufactured
+    A, b, u = poisson_2d_manufactured(255)       # 65025 dof
+    t0 = time.time()
+    h = setup_rs(A, AMGParam(interpolation_type=int(InterpType.DIRECT)))
+    dt = time.time() - t0
+    assert dt < 30.0                             # CPU VM with 2x noise
+    res = amg_solve(h, jnp.asarray(b), tol=1e-8, maxit=25)
+    assert bool(res.converged)
+    assert int(res.iters) <= 15
+    assert np.max(np.abs(np.asarray(res.x) - u)) < 1e-6
+
+
+def test_cr_coarsening_native_gs(fe):
+    """CR splitting (native F-point GS habituation sweeps) yields a usable
+    splitting on FE-3969."""
+    from faspsolver_tpu.precond.amg import coarsen_rs as C
+    from faspsolver_tpu.constants import CGPT
+    A, _, _ = fe
+    S = C.strong_couplings(A, 0.25)
+    cf = C.cf_split_cr(A, S)
+    ratio = (cf == CGPT).sum() / A.nrow
+    assert 0.05 < ratio < 0.9
