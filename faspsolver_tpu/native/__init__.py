@@ -87,6 +87,16 @@ def _load() -> Optional[ctypes.CDLL]:
                                   ctypes.c_int, ctypes.c_double,
                                   _i32p, _i32p, _f64p, ctypes.c_int64,
                                   _i32p, _i32p, _f64p, ctypes.c_int64]
+        lib.fasp_ilutp.restype = ctypes.c_int
+        lib.fasp_ilutp.argtypes = [ctypes.c_int, _i32p, _i32p, _f64p,
+                                   ctypes.c_int, ctypes.c_double,
+                                   ctypes.c_double, ctypes.c_int,
+                                   _i32p, _i32p, _f64p, ctypes.c_int64,
+                                   _i32p, _i32p, _f64p, ctypes.c_int64,
+                                   _i32p]
+        lib.fasp_bsr_ilu0.restype = ctypes.c_int
+        lib.fasp_bsr_ilu0.argtypes = [ctypes.c_int, ctypes.c_int, _i32p,
+                                      _i32p, _f64p, _f64p]
         lib.fasp_rs_cf_split.restype = ctypes.c_int
         lib.fasp_rs_cf_split.argtypes = [ctypes.c_int, _i32p, _i32p,
                                          _i32p, _i32p, _i32p]
@@ -255,6 +265,61 @@ def ilut(A, lfil: int, droptol: float):
         return None
     return _ilu_call(lib.fasp_ilut, A, (int(max(lfil, 1)), float(droptol)),
                      3.0)
+
+
+def ilutp(A, lfil: int, droptol: float, permtol: float = 0.05,
+          mbloc: int = 0):
+    """ILUtp with column pivoting.  Returns (L, U, perm) where the factors
+    satisfy L U ~= A P with U columns in permuted numbering and
+    perm[new] = old, or None without a toolchain."""
+    import scipy.sparse as sp
+    lib = _load()
+    if lib is None:
+        return None
+    m = A.to_scipy().tocsr()
+    m.sort_indices()
+    indptr, indices, data, n = _csr_arrays(m)
+    cap = max(int(m.nnz * 3.0) + n + 16, 64)
+    for _ in range(6):
+        l_indptr = np.zeros(n + 1, dtype=np.int32)
+        u_indptr = np.zeros(n + 1, dtype=np.int32)
+        l_indices = np.empty(cap, dtype=np.int32)
+        l_data = np.empty(cap, dtype=np.float64)
+        u_indices = np.empty(cap, dtype=np.int32)
+        u_data = np.empty(cap, dtype=np.float64)
+        perm = np.empty(n, dtype=np.int32)
+        rc = lib.fasp_ilutp(n, indptr, indices, data,
+                            int(max(lfil, 1)), float(droptol),
+                            float(permtol), int(mbloc if mbloc > 0 else n),
+                            l_indptr, l_indices, l_data, cap,
+                            u_indptr, u_indices, u_data, cap, perm)
+        if rc == 0:
+            lnnz = int(l_indptr[n])
+            unnz = int(u_indptr[n])
+            L = sp.csr_matrix((l_data[:lnnz], l_indices[:lnnz], l_indptr),
+                              shape=(n, n))
+            U = sp.csr_matrix((u_data[:unnz], u_indices[:unnz], u_indptr),
+                              shape=(n, n))
+            return L, U, perm.astype(np.int64)
+        cap *= 2
+    return None
+
+
+def bsr_ilu0(indptr, indices, vals, n: int, nb: int):
+    """Block ILU(0) in the BSR pattern.  vals (nnzb, nb, nb) is factored
+    in place (copy passed in); returns (factored_vals, diaginv) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vals, dtype=np.float64).copy()
+    dinv = np.zeros((n, nb, nb), dtype=np.float64)
+    rc = lib.fasp_bsr_ilu0(
+        n, nb, np.ascontiguousarray(indptr, dtype=np.int32),
+        np.ascontiguousarray(indices, dtype=np.int32),
+        v.reshape(-1), dinv.reshape(-1))
+    if rc != 0:
+        return None
+    return v, dinv
 
 
 def rs_cf_split(S) -> Optional[np.ndarray]:

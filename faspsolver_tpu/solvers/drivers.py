@@ -212,13 +212,24 @@ def krylov_ilu(A, b, x0=None, its: Optional[ITSParam] = None,
     batched triangular solves on device.
     """
     from ..formats.str_grid import STRMatrix
+    ilu = ilu or ILUParam()
+    if isinstance(A, BSRMatrix) and int(ilu.ILU_lfil) == 0:
+        # true block ILU(0) with batched nb x nb solves (reference:
+        # fasp_solver_dbsr_krylov_ilu, SolBSR.c:286 -> fasp_ilu_dbsr_setup);
+        # graceful fallback to the scalar expansion on setup failure
+        from ..precond.ilu import setup_bsr_ilu0
+        try:
+            M = setup_bsr_ilu0(A)
+            return itsolver(A, b, x0=x0, M=M, its=its)
+        except FaspError:
+            pass
     if isinstance(A, (BSRMatrix, STRMatrix)):
         host = A.to_csr()
     elif isinstance(A, CSRMatrix):
         host = A
     else:
         raise FaspError(-41, "krylov_ilu needs a host matrix")
-    M = setup_ilu(host, ilu or ILUParam())
+    M = setup_ilu(host, ilu)
     return itsolver(A, b, x0=x0, M=M, its=its)
 
 

@@ -117,7 +117,7 @@ class ILUParam:
     ILU_lfil: int = 0
     ILU_droptol: float = 0.001
     ILU_relax: float = 0.0
-    ILU_permtol: float = 0.0
+    ILU_permtol: float = 0.01   # reference: fasp_param_ilu_init, AuxParam.c:602
 
 
 @dataclass
