@@ -15,16 +15,19 @@ def main(argv) -> int:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
 
-    from .harness import run_benchmark
+    from .harness import run_benchmark, run_generated
 
     def opt(flag, default):
         return argv[argv.index(flag) + 1] if flag in argv else default
 
-    datadir = opt("--data", "/root/reference/data")
     solver = opt("--solver", "ilu")
-    results = run_benchmark(datadir, solver_kind=solver,
-                            min_size=int(opt("--min", 0)),
-                            max_size=int(opt("--max", 200_000)))
+    if "--gen" in argv:
+        results = run_generated(solver_kind=opt("--solver", "amg"))
+    else:
+        datadir = opt("--data", "/root/reference/data")
+        results = run_benchmark(datadir, solver_kind=solver,
+                                min_size=int(opt("--min", 0)),
+                                max_size=int(opt("--max", 200_000)))
     return 0 if results and all(r.converged for r in results) else 1
 
 

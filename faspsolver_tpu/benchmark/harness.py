@@ -93,6 +93,36 @@ def _solver_factory(kind: str):
     return lambda A, b: krylov(A, b, its=cg_its)
 
 
+def generated_problems(sizes_2d=(255, 511), sizes_3d=(31, 47)):
+    """FDM Poisson systems with manufactured b (analog of the reference's
+    generated test systems, test/src/FdmPoisson.c + testfdm2d/3d.cpp)."""
+    from ..testgen import poisson_2d, poisson_3d
+    out = []
+    for n in sizes_2d:
+        A = poisson_2d(n)
+        out.append((f"fdm2d-{n}x{n}", A, A.matvec(np.ones(A.nrow))))
+    for n in sizes_3d:
+        A = poisson_3d(n)
+        out.append((f"fdm3d-{n}^3", A, A.matvec(np.ones(A.nrow))))
+    return out
+
+
+def run_generated(solver_kind: str = "amg") -> List[BenchResult]:
+    """Score the generated FDM corpus (lMVU-normalized like the reference
+    scores SuiteSparse problems)."""
+    lmvu = compute_lmvu()
+    print(f"lMVU = {lmvu:.3e} s/row/iter")
+    solver = _solver_factory(solver_kind)
+    results = []
+    for name, A, b in generated_problems():
+        r = score_problem(name, A, b, solver, lmvu)
+        results.append(r)
+        print(f"{r.name:16s} n={r.n:8d} nnz={r.nnz:9d} iters={r.iters:5d} "
+              f"t={r.solve_s:8.3f}s score={r.score:10.1f} "
+              f"{'ok' if r.converged else 'FAILED'}")
+    return results
+
+
 def run_benchmark(datadir: str, solver_kind: str = "ilu",
                   min_size: int = 0, max_size: int = 200_000,
                   problems: Optional[List[str]] = None) -> List[BenchResult]:

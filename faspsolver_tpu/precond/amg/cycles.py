@@ -24,7 +24,13 @@ from ...constants import CycleType
 from .hierarchy import AMGHierarchy
 from .smoothers import smooth
 
-_W_UNROLL_CAP = 10    # deepest level that still doubles visits in W cycles
+# Deepest level that still doubles visits in W-type cycles.  The traced
+# graph carries prod(visits) coarse-level visits, so the cap bounds trace
+# size at 2^6 = 64 — the W-cycle benefit concentrates in the top levels
+# while levels past the cap degrade to V-visits (they are tiny and the
+# remote XLA compile path is slow; see CLAUDE.md).  Regression-checked:
+# the FE-3969 golden W-cycle counts are unaffected (<= 6 levels deep).
+_W_UNROLL_CAP = 6
 
 
 def _visits(cycle_type: int, level: int) -> int:
@@ -71,6 +77,11 @@ def _cycle(hier: AMGHierarchy, l: int, b, x):
     x = x + lvl.P(ec)
     x = smooth(lvl.smoother, lvl.A, x, b, hier.postsmooth_iter,
                forward=False)
+    if lvl.nk is not None:
+        # extra near-kernel solve (reference: PreMGCycle.c:369-391):
+        # x += B (B^T A B)^{-1} B^T (b - A x)
+        rr = b - lvl.A(x)
+        x = x + lvl.nk.B @ (lvl.nk.Ainv @ (lvl.nk.B.T @ rr))
     return x
 
 

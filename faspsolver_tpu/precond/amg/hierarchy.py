@@ -21,6 +21,20 @@ from .smoothers import SmootherData
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class NearKernel:
+    """Per-level near-kernel (null-space) correction data (reference:
+    AMG_data.near_kernel_basis, fasp.h:849-852; per-level A_nk/P_nk/R_nk,
+    PreAMGSetupUABSR.c:241-266).  B holds the restricted basis (n, m);
+    Ainv = (B^T A B)^{-1} precomputed dense on host.  The cycle applies
+    x += B Ainv B^T (b - A x) after post-smoothing (PreMGCycle.c:369-391)
+    — two skinny dense matmuls, ideal MXU shapes."""
+
+    B: jax.Array          # (n, m) restricted near-kernel basis
+    Ainv: jax.Array       # (m, m)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class AMGLevel:
     """One level: operator + transfers down to the next level + smoother."""
 
@@ -28,6 +42,7 @@ class AMGLevel:
     P: Optional[Any]                      # prolongation (None on coarsest)
     R: Optional[Any]                      # restriction  (None on coarsest)
     smoother: Optional[SmootherData]      # None on coarsest
+    nk: Optional[NearKernel] = None       # near-kernel correction data
 
 
 @jax.tree_util.register_dataclass

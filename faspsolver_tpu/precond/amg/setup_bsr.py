@@ -22,9 +22,29 @@ from ...ops.operators import BsrEllOperator, default_dtype
 from ...utils.params import AMGParam
 from .aggregation import aggregate_pairwise, aggregate_vmb
 from .bsr_smoothers import build_bsr_smoother
-from .hierarchy import (AMGHierarchy, AMGLevel, CoarseSolver,
+from .hierarchy import (AMGHierarchy, AMGLevel, CoarseSolver, NearKernel,
                         make_coarse_solver)
 from .transfer import BlockAggProlong, BlockAggRestrict
+
+
+def _near_kernel_data(B: np.ndarray, A_host: BSRMatrix, dtype) -> NearKernel:
+    """NearKernel for one level: Ainv = pinv(B^T A B) on host (reference:
+    A_nk = R_nk A P_nk, PreAMGSetupUABSR.c:265)."""
+    m = A_host.to_scipy().tocsr()
+    gram = B.T @ (m @ B)
+    return NearKernel(B=jnp.asarray(B, dtype=dtype),
+                      Ainv=jnp.asarray(np.linalg.pinv(gram), dtype=dtype))
+
+
+def _restrict_basis_agg(B: np.ndarray, agg: np.ndarray, nagg: int,
+                        nb: int) -> np.ndarray:
+    """B_{l+1} = R_l B_l for the boolean block-aggregation restriction
+    (reference: P_nk_{l+1} = R_l P_nk_l, PreAMGSetupUABSR.c:262)."""
+    n = len(agg)
+    m = B.shape[1]
+    out = np.zeros((nagg, nb, m), dtype=B.dtype)
+    np.add.at(out, agg, B.reshape(n, nb, m))
+    return out.reshape(nagg * nb, m)
 
 
 def _block_rap_agg(A: BSRMatrix, agg: np.ndarray, nagg: int) -> BSRMatrix:
@@ -50,7 +70,12 @@ def _block_rap_agg(A: BSRMatrix, agg: np.ndarray, nagg: int) -> BSRMatrix:
 
 
 def setup_ua_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
-                 dtype=None) -> AMGHierarchy:
+                 dtype=None, nk: Optional[np.ndarray] = None
+                 ) -> AMGHierarchy:
+    """``nk``: optional (n*nb, m) near-kernel basis carried down the
+    hierarchy (restricted per level) with the cycle-level correction
+    enabled (reference: fasp_solver_dbsr_krylov_nk_amg, SolBSR.c:634;
+    PreAMGSetupUABSR.c:241-266)."""
     param = param or AMGParam()
     dtype = dtype or default_dtype()
 
@@ -78,11 +103,17 @@ def setup_ua_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
 
     levels = []
     nlvl = len(host_levels)
+    B = None
+    if nk is not None:
+        B = np.atleast_2d(np.asarray(nk, dtype=np.float64))
+        if B.shape[0] != A.nrow:
+            B = B.T
     for l, Al in enumerate(host_levels):
+        nk_data = _near_kernel_data(B, Al, dtype) if B is not None else None
         if l == nlvl - 1:
             levels.append(AMGLevel(
                 A=BsrEllOperator.from_bsr(Al, dtype=dtype),
-                P=None, R=None, smoother=None))
+                P=None, R=None, smoother=None, nk=nk_data))
             break
         agg, nagg = aggs[l]
         sm = build_bsr_smoother(Al, param.smoother, relax=param.relaxation,
@@ -93,7 +124,9 @@ def setup_ua_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
                               Al.nrow_block, int(nagg), Al.nb),
             R=BlockAggRestrict(jnp.asarray(agg.astype(np.int32)),
                                Al.nrow_block, int(nagg), Al.nb),
-            smoother=sm))
+            smoother=sm, nk=nk_data))
+        if B is not None:
+            B = _restrict_basis_agg(B, agg, int(nagg), Al.nb)
 
     coarse = make_coarse_solver(host_levels[-1], dtype)
 
@@ -113,7 +146,8 @@ def setup_ua_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
 
 
 def setup_sa_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
-                 dtype=None) -> AMGHierarchy:
+                 dtype=None, nk: Optional[np.ndarray] = None
+                 ) -> AMGHierarchy:
     """BSR smoothed-aggregation setup (reference: fasp_amg_setup_sa_bsr,
     PreAMGSetupSABSR.c:61): condense blocks to the scalar strength graph,
     aggregate there, expand the tentative P to blocks and smooth it with
@@ -177,11 +211,17 @@ def setup_sa_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
 
     levels = []
     nlvl = len(host_levels)
+    B = None
+    if nk is not None:
+        B = np.atleast_2d(np.asarray(nk, dtype=np.float64))
+        if B.shape[0] != A.nrow:
+            B = B.T
     for l, Al in enumerate(host_levels):
+        nk_data = _near_kernel_data(B, Al, dtype) if B is not None else None
         if l == nlvl - 1:
             levels.append(AMGLevel(
                 A=BsrEllOperator.from_bsr(Al, dtype=dtype),
-                P=None, R=None, smoother=None))
+                P=None, R=None, smoother=None, nk=nk_data))
             break
         P = Ps[l]
         PT_sp = P.to_scipy().T.tobsr(blocksize=(nb, nb))
@@ -195,7 +235,9 @@ def setup_sa_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
             A=BsrEllOperator.from_bsr(Al, dtype=dtype),
             P=BsrEllOperator.from_bsr(P, dtype=dtype),
             R=BsrEllOperator.from_bsr(PT, dtype=dtype),
-            smoother=sm))
+            smoother=sm, nk=nk_data))
+        if B is not None:
+            B = np.asarray(P.to_scipy().T @ B)
 
     coarse = make_coarse_solver(host_levels[-1], dtype)
 

@@ -503,11 +503,16 @@ def setup_ilu(A: CSRMatrix, param: ILUParam = None, dtype=None) -> ILUPrecond:
     t = int(param.ILU_type)
     from .. import native
 
+    # ILUt/ILUtp row-fill budget: the reference ignores ILU_lfil for the
+    # threshold variants and uses n/2+1 so droptol governs fill
+    # (BlaILUSetupCSR.c:68-72); an explicit positive lfil still bounds rows
+    lfilt = param.ILU_lfil if param.ILU_lfil > 0 else A.nrow // 2 + 1
+
     def _pivoted() -> ILUPrecond:
         # native ILUtp first (reference: fasp_ilutp, BlaILU.c:906 — own
         # row-wise ILUT with column pivoting); factors satisfy L U ~= A P,
         # solve x = y[argsort(perm)].  SuperLU only as last resort.
-        out = native.ilutp(A, param.ILU_lfil, param.ILU_droptol,
+        out = native.ilutp(A, lfilt, param.ILU_droptol,
                            param.ILU_permtol)
         if out is not None:
             L, U, perm = out
@@ -539,7 +544,7 @@ def setup_ilu(A: CSRMatrix, param: ILUParam = None, dtype=None) -> ILUPrecond:
     elif t == ILUType.ILUTP:
         return _pivoted()
     else:
-        out = native.ilut(A, param.ILU_lfil, param.ILU_droptol)
+        out = native.ilut(A, lfilt, param.ILU_droptol)
         if out is not None:
             L, U = out
         else:

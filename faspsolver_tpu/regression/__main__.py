@@ -13,18 +13,22 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-from .runner import (core_configs, matfree_configs, mm_configs, mm_problems,
+from .runner import (bsr_configs, bsr_problems, core_configs,
+                     matfree_configs, mm_configs, mm_problems,
                      print_tally, run_matrix, _problems)
 
 
 def main(argv):
     mm = "--mm" in argv
     matfree = "--matfree" in argv
+    bsr = "--bsr" in argv
     fast = "--fast" in argv
     if mm:
         results = run_matrix(mm_configs(), mm_problems())
     elif matfree:
         results = run_matrix(matfree_configs(), _problems())
+    elif bsr:
+        results = run_matrix(bsr_configs(), bsr_problems())
     else:
         cfgs = core_configs()
         probs = _problems()

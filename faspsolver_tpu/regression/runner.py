@@ -130,6 +130,15 @@ def core_configs() -> List[Tuple[str, Callable]]:
         _amg_config("AMG V SGS", smoother=int(SmootherType.SGS)),
         _amg_config("AMG V L1-diag", smoother=int(SmootherType.L1DIAG),
                     maxit=100),
+        # energy-min interpolation (reference: regression.c:183-188)
+        _amg_config("AMG V energymin-interp GS", smoother=GS,
+                    interpolation_type=int(InterpType.ENERGYMIN), maxit=60,
+                    tol=1e-13),
+        # SOR-smoothed AMG (reference: regression.c:296-301)
+        _amg_config("AMG V SOR", smoother=int(SmootherType.SOR),
+                    relaxation=1.1, maxit=60),
+        _amg_config("AMG V SSOR", smoother=int(SmootherType.SSOR),
+                    relaxation=1.1, maxit=60),
         _amg_config("SA-AMG V GS", AMG_type=int(AMGType.SA),
                     aggregation_type=int(AggregationType.VMB), smoother=GS,
                     maxit=100),
@@ -154,6 +163,8 @@ def core_configs() -> List[Tuple[str, Callable]]:
         _krylov_config("vFGMRES + diag", vfgmres, JacobiPrecond.from_csr,
                        restart=60, tol=1e-13, maxit=4000),
         _krylov_config("GCR + diag", gcr, JacobiPrecond.from_csr,
+                       restart=60, tol=1e-13, maxit=4000),
+        _krylov_config("GCG + diag", gcg, JacobiPrecond.from_csr,
                        restart=60, tol=1e-13, maxit=4000),
         # --- Krylov + AMG (regression.c:402-640) ---
         _krylov_config("CG + AMG(direct)", pcg, _amg_precond(
@@ -212,10 +223,21 @@ def mm_problems(datadir: str = REFDATA):
 
 
 def mm_configs() -> List[Tuple[str, Callable]]:
-    """Robust nonsymmetric set: GMRES/BiCGstab + ILUt, plus pivoted ILUtp
-    (which solves driven-cavity/transport problems where unpivoted ILU
-    breaks down — e05r0500, gre__115)."""
+    """MatrixMarket solver matrix toward regression_mm.c:115-321's list:
+    diagonal-preconditioned Krylov, AMG-preconditioned Krylov, and the ILU
+    family incl. the in-house pivoted ILUtp (which solves driven-cavity /
+    transport problems where unpivoted ILU breaks down — e05r0500,
+    gre__115).  ATTENTION rows on watt__1 / lns__131 are expected: they
+    are conditioning-limited (~1e15) for any f64 solver, and the
+    reference's own golden reg_mm.out logs 223 ATTENTION lines."""
     return [
+        _krylov_config("BiCGstab + diag", bicgstab, JacobiPrecond.from_csr,
+                       maxit=3000, tol=1e-12),
+        _krylov_config("vGMRES + diag", vgmres, JacobiPrecond.from_csr,
+                       restart=50, maxit=3000, tol=1e-12),
+        _krylov_config("GMRES + AMG", gmres, _amg_precond(
+            smoother=int(SmootherType.GS)), restart=40, maxit=1000,
+            tol=1e-10),
         _krylov_config("vGMRES + ILUt", vgmres, _ilu_precond(
             ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), restart=40,
             maxit=2000, tol=1e-10),
@@ -225,10 +247,75 @@ def mm_configs() -> List[Tuple[str, Callable]]:
         _krylov_config("BiCGstab + ILUt", bicgstab, _ilu_precond(
             ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), maxit=2000,
             tol=1e-10),
+        _krylov_config("GMRES + ILUtp", gmres, _ilu_precond(
+            ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4, ILU_lfil=40,
+            ILU_permtol=0.05), restart=60, maxit=2000, tol=1e-12),
         _krylov_config("vGMRES + ILUtp", vgmres, _ilu_precond(
-            ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4), restart=60,
-            maxit=2000, tol=1e-12),
+            ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4, ILU_lfil=40,
+            ILU_permtol=0.05), restart=60, maxit=2000, tol=1e-12),
     ]
+
+
+def bsr_problems(datadir: str = REFDATA):
+    """SPE01 black-oil Jacobian (BSR nb=3) with a manufactured solution —
+    the reference's testbsr.c/ini/bsr.dat workload."""
+    from ..io import read_bsr
+    rng = np.random.default_rng(7)
+    A = read_bsr(f"{datadir}/bsrmat_SPE01.dat")
+    sol = rng.standard_normal(A.nrow)
+    b = A.matvec(sol)
+    return [("SPE01-bsr3", A, b, sol)]
+
+
+def bsr_configs() -> List[Tuple[str, Callable]]:
+    """BSR drivers on SPE01 (reference: testbsr.c + SolBSR.c): vFGMRES
+    with UA-AMG (bsr.dat semantics), true block ILU(0), and near-kernel
+    AMG (krylov_nk_amg, SolBSR.c:634) with the component-wise constant
+    basis — iteration counts of nk vs plain AMG are recorded side by
+    side."""
+    from ..solvers import drivers
+    from ..utils.params import ITSParam
+
+    def amg_run(A, b):
+        res, _ = drivers.krylov_amg(
+            A, np.asarray(b), its=ITSParam(itsolver_type=int(
+                SolverType.VFGMRES), tol=1e-10, maxit=500, restart=30),
+            amg=AMGParam(AMG_type=int(AMGType.UA)))
+        return res
+
+    def blockilu_run(A, b):
+        return drivers.krylov_ilu(
+            A, np.asarray(b), its=ITSParam(itsolver_type=int(
+                SolverType.VFGMRES), tol=1e-10, maxit=500, restart=30),
+            ilu=ILUParam(ILU_lfil=0))
+
+    def nk_run(A, b):
+        nb = A.nb
+        B = np.zeros((A.nrow, nb))
+        for t in range(nb):
+            B[t::nb, t] = 1.0
+        res, _ = drivers.krylov_nk_amg(
+            A, np.asarray(b), B, its=ITSParam(itsolver_type=int(
+                SolverType.VFGMRES), tol=1e-14, maxit=500, restart=30),
+            amg=AMGParam(AMG_type=int(AMGType.UA), aggregation_type=int(
+                AggregationType.VMB), coarse_dof=30))
+        return res
+
+    def nk_wrap_run(A, b):
+        nb = A.nb
+        B = np.zeros((A.nrow, nb))
+        for t in range(nb):
+            B[t::nb, t] = 1.0
+        res, _ = drivers.krylov_amg_nk(
+            A, np.asarray(b), B, its=ITSParam(itsolver_type=int(
+                SolverType.VFGMRES), tol=1e-10, maxit=500, restart=30),
+            amg=AMGParam(AMG_type=int(AMGType.UA)))
+        return res
+
+    return [("vFGMRES + UA-AMG", amg_run),
+            ("vFGMRES + block-ILU0", blockilu_run),
+            ("vFGMRES + nk-AMG", nk_run),
+            ("vFGMRES + AMG-nk", nk_wrap_run)]
 
 
 def matfree_configs() -> List[Tuple[str, Callable]]:

@@ -309,6 +309,32 @@ def krylov_sweeping(A, b, x0=None, its: Optional[ITSParam] = None,
     return itsolver(A, b, x0=x0, M=M, its=its)
 
 
+def krylov_nk_amg(A, b, nk, x0=None,
+                  its: Optional[ITSParam] = None,
+                  amg: Optional[AMGParam] = None
+                  ) -> Tuple[SolveResult, object]:
+    """Krylov preconditioned by AMG that carries the near-kernel basis
+    INSIDE the hierarchy: the basis is restricted level by level and the
+    cycle applies the extra near-kernel solve after post-smoothing
+    (reference: fasp_solver_dbsr_krylov_nk_amg, SolBSR.c:634;
+    PreAMGSetupUABSR.c:241-266; PreMGCycle.c:369-391)."""
+    its = its or ITSParam()
+    amg = amg or AMGParam()
+    if isinstance(A, BSRMatrix):
+        from ..precond.amg.setup_bsr import setup_sa_bsr, setup_ua_bsr
+        if int(amg.AMG_type) == int(AMGType.SA):
+            hier = setup_sa_bsr(A, amg, nk=nk)
+        else:
+            hier = setup_ua_bsr(A, amg, nk=nk)
+    else:
+        raise FaspError(-41, "krylov_nk_amg: BSR path only "
+                        "(reference SolBSR.c:634)")
+    op = _as_operator(A)
+    M = AMGPrecond(hier, maxit=amg.maxit)
+    res = itsolver(op, b, x0=x0, M=M, its=its)
+    return res, hier
+
+
 def krylov_amg_nk(A: CSRMatrix, b, nk, x0=None,
                   its: Optional[ITSParam] = None,
                   amg: Optional[AMGParam] = None

