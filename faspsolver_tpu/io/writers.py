@@ -107,3 +107,41 @@ def write_coovec_bin(matpath: str, A: CSRMatrix, rhspath: str = None,
         with open(rhspath, "wb") as f:
             np.asarray([len(b)], dtype=sw + "i4").tofile(f)
             np.asarray(b, dtype=sw + "f8").tofile(f)
+
+
+def write_samg(basename: str, A: CSRMatrix) -> None:
+    """Export in SAMG input format: ``basename.frm`` (header) +
+    ``basename.amg`` (1-based indptr, column indices, values), diagonal
+    entries first in each row (reference: fasp_dcsr_write_samg /
+    XtrSamg.c:145 — matrix_type 11/12/21/22 by symmetry x zero-rowsum).
+    """
+    m = A.to_scipy().tocsr()
+    n = m.shape[0]
+    # diagonal-first row ordering (reference: fasp_dcsr_diagpref)
+    indptr = m.indptr
+    indices = m.indices.copy()
+    data = m.data.copy()
+    for i in range(n):
+        s, e = indptr[i], indptr[i + 1]
+        row = indices[s:e]
+        d = np.nonzero(row == i)[0]
+        if len(d) and d[0] != 0:
+            k = s + d[0]
+            indices[s + 1:k + 1], indices[s] = indices[s:k].copy(), i
+            v = data[k]
+            data[s + 1:k + 1] = data[s:k].copy()
+            data[s] = v
+    symmetric = (abs(m - m.T) > 1e-12 * max(abs(m).max(), 1e-300)).nnz == 0
+    rowsums_zero = bool(np.all(np.abs(np.asarray(m.sum(axis=1))).ravel()
+                               < 1e-10))
+    matrix_type = (21 if symmetric else 11) + (1 if rowsums_zero else 0)
+    with open(basename + ".frm", "w") as fp:
+        fp.write("f   4\n")
+        fp.write(f"{m.nnz} {n} {matrix_type} 1 0\n")
+    with open(basename + ".amg", "w") as fp:
+        for v in indptr:
+            fp.write(f"{int(v) + 1}\n")
+        for v in indices:
+            fp.write(f"{int(v) + 1}\n")
+        for v in data:
+            fp.write(f"{v:.15e}\n")

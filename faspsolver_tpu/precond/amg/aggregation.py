@@ -361,3 +361,40 @@ def tentative_prolongation(agg: np.ndarray, nagg: int) -> CSRMatrix:
     n = len(agg)
     return CSRMatrix.from_scipy(
         sp.csr_matrix((np.ones(n), (np.arange(n), agg)), shape=(n, nagg)))
+
+
+def tentative_prolongation_nk(agg: np.ndarray, nagg: int, B: np.ndarray
+                              ) -> Tuple[CSRMatrix, np.ndarray]:
+    """Near-kernel tentative prolongation (reference: form_tentative_p
+    with AMG_data.near_kernel_basis, fasp.h:849-852; the Vanek SA
+    construction): per aggregate a, the m basis columns restricted to a
+    are orthonormalized and become coarse dofs a*m..a*m+m-1.
+
+    Batched Loewdin orthonormalization Q = X (X^T X)^{-1/2} — padded rows
+    stay exactly zero, so aggregates of different sizes batch into one
+    (nagg, max_size, m) einsum + (nagg, m, m) eigh: MXU-shaped setup.
+    Returns (P_tent (n, nagg*m) CSR, coarse basis (nagg*m, m) = the
+    (X^T X)^{1/2} factors, i.e. R such that X = Q R).
+    """
+    n = len(agg)
+    m = B.shape[1]
+    counts = np.bincount(agg, minlength=nagg)
+    max_sz = int(counts.max()) if nagg else 1
+    order = np.argsort(agg, kind="stable")
+    slot = np.arange(n) - np.concatenate([[0], np.cumsum(counts[:-1])])[agg][order]
+    X = np.zeros((nagg, max_sz, m))
+    X[agg[order], slot] = B[order]
+    G = np.einsum("asm,asn->amn", X, X)               # (nagg, m, m)
+    w, V = np.linalg.eigh(G)
+    w = np.maximum(w, 1e-30)
+    inv_sqrt = np.einsum("amk,ak,ank->amn", V, 1.0 / np.sqrt(w), V)
+    sqrt_G = np.einsum("amk,ak,ank->amn", V, np.sqrt(w), V)
+    Q = np.einsum("asm,amn->asn", X, inv_sqrt)        # orthonormal columns
+    # scatter Q back to (n, nagg*m) CSR: row i gets m entries in block agg[i]
+    rows = np.repeat(np.arange(n), m)
+    cols = (agg[:, None] * m + np.arange(m)[None, :]).ravel()
+    vals = Q[agg[order], slot][np.argsort(order)].reshape(n, m).ravel()
+    keep = vals != 0.0
+    P = CSRMatrix.from_coo(rows[keep], cols[keep], vals[keep],
+                           (n, nagg * m))
+    return P, sqrt_G.reshape(nagg * m, m)

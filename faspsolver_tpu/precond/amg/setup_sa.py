@@ -42,12 +42,25 @@ def _filtered(m: sp.csr_matrix, theta: float) -> sp.csr_matrix:
 
 
 def setup_sa(A: CSRMatrix, param: Optional[AMGParam] = None,
-             dtype=None) -> AMGHierarchy:
+             dtype=None, nk=None) -> AMGHierarchy:
+    """``nk``: optional (n, m) near-kernel basis.  When given, the
+    tentative prolongation carries the basis exactly (per-aggregate
+    Loewdin orthonormalization — reference: near_kernel_basis support in
+    the SA setup, fasp.h:849-852 / PreAMGSetupSA.c) and the restricted
+    basis propagates to coarser levels."""
+    import numpy as _np
+
     param = param or AMGParam()
     dtype = dtype or default_dtype()
 
     host_levels: List[CSRMatrix] = [A]
     Ps: List[CSRMatrix] = []
+
+    B = None
+    if nk is not None:
+        B = _np.atleast_2d(_np.asarray(nk, dtype=_np.float64))
+        if B.shape[0] != A.nrow:
+            B = B.T
 
     cur = A
     theta = param.strong_coupled
@@ -57,7 +70,12 @@ def setup_sa(A: CSRMatrix, param: Optional[AMGParam] = None,
         agg, nagg = aggregate(cur, param, theta)
         if nagg >= 0.95 * cur.nrow:
             break
-        Pt = tentative_prolongation(agg, nagg).to_scipy()
+        if B is not None:
+            from .aggregation import tentative_prolongation_nk
+            Pt_m, B = tentative_prolongation_nk(agg, nagg, B)
+            Pt = Pt_m.to_scipy()
+        else:
+            Pt = tentative_prolongation(agg, nagg).to_scipy()
         m = cur.to_scipy()
         ms = _filtered(m, theta) if param.smooth_filter else m
         d = ms.diagonal()

@@ -259,3 +259,27 @@ def test_cr_coarsening_native_gs(fe):
     cf = C.cf_split_cr(A, S)
     ratio = (cf == CGPT).sum() / A.nrow
     assert 0.05 < ratio < 0.9
+
+
+def test_sa_near_kernel_tentative_p(fe):
+    """setup_sa(nk=...) carries the basis exactly through the tentative
+    prolongation (P_tent B_coarse = B, orthonormal per-aggregate columns)
+    and converges in the SA golden regime (reference: near_kernel_basis,
+    fasp.h:849-852)."""
+    from faspsolver_tpu.precond.amg.aggregation import (
+        tentative_prolongation_nk)
+    rng = np.random.default_rng(0)
+    agg = rng.integers(0, 10, size=50)
+    B = rng.standard_normal((50, 2))
+    P, Bc = tentative_prolongation_nk(agg, 10, B)
+    assert np.abs(P.to_scipy() @ Bc - B).max() < 1e-12
+    Q = P.to_scipy().toarray()
+    assert np.abs(Q.T @ Q - np.eye(20)).max() < 1e-12
+
+    A, b, sol = fe
+    h = setup_sa(A, AMGParam(aggregation_type=int(AggregationType.VMB)),
+                 nk=np.ones((A.nrow, 1)))
+    res = amg_solve(h, b, tol=1e-10, maxit=100)
+    assert bool(res.converged)
+    assert int(res.iters) <= 68          # SA golden regime (45)
+    assert np.max(np.abs(np.asarray(res.x) - sol)) < 1e-4

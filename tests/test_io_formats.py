@@ -165,3 +165,29 @@ def test_read_hb_general_triangular_untouched(tmp_path):
     np.testing.assert_allclose(
         A.to_dense(), [[4, -1, 0], [0, 0, -1], [0, 0, 0]])
     assert b is None
+
+
+def test_write_samg(tmp_path, refdata):
+    """SAMG export (reference: XtrSamg.c:145): .frm header + .amg body,
+    1-based, diagonal-first rows."""
+    from faspsolver_tpu.io import read_csrvec, write_samg
+    A, _ = read_csrvec(f"{refdata}/csrmat_FD.dat", f"{refdata}/rhs_FD.dat")
+    base = str(tmp_path / "fd")
+    write_samg(base, A)
+    frm = open(base + ".frm").read().split()
+    assert frm[0] == "f" and int(frm[1]) == 4
+    nnz, n, mtype = int(frm[2]), int(frm[3]), int(frm[4])
+    assert n == A.nrow and nnz == A.nnz
+    assert mtype in (11, 12, 21, 22)
+    body = [float(x) for x in open(base + ".amg").read().split()]
+    indptr = np.array(body[:n + 1], dtype=np.int64) - 1
+    cols = np.array(body[n + 1:n + 1 + nnz], dtype=np.int64) - 1
+    vals = np.array(body[n + 1 + nnz:])
+    assert indptr[0] == 0 and indptr[-1] == nnz
+    # diagonal first in each row; matrix reconstructs exactly
+    import scipy.sparse as sp
+    m = sp.csr_matrix((vals, cols, indptr), shape=A.shape)
+    assert (abs(m - A.to_scipy()) > 0).nnz == 0
+    for i in range(n):
+        if indptr[i] < indptr[i + 1]:
+            assert cols[indptr[i]] == i
