@@ -98,19 +98,17 @@ class BSRMatrix:
         graph (reference: condenseBSR / condenseBSRLinf,
         PreAMGAggregationBSR.inl:20-120).
 
-        norm_type <0: signed Frobenius-like norm using the block's (0,0) sign
-        convention; otherwise L-inf norm of the block.
+        norm_type <0: signed Frobenius norm; otherwise signed L-inf norm
+        of the block (condenseBSRLinf).  Both follow the reference's sign
+        convention — off-diagonal blocks negative, diagonal positive — so
+        M-matrix strength-of-connection logic applies to the condensed
+        graph (PreAMGAggregationBSR.inl:114: ``if (i != j) Aval = -Aval``).
         """
         if norm_type >= 0:
             vals = np.abs(self.data).max(axis=(1, 2))
         else:
             vals = np.linalg.norm(self.data, axis=(1, 2))
-            # preserve sign structure: off-diagonal blocks negative, diagonal
-            # positive — mirrors the M-matrix-like condensation the reference
-            # uses so strength-of-connection logic still applies
-            rows = np.repeat(np.arange(self.shape[0]),
-                             np.diff(self.indptr))
-            vals = np.where(rows == self.indices, vals, -vals)
         rows = np.repeat(np.arange(self.shape[0]), np.diff(self.indptr))
+        vals = np.where(rows == self.indices, vals, -vals)
         return CSRMatrix.from_coo(rows, self.indices, vals,
                                   (self.shape[0], self.shape[1]))

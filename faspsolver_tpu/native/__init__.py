@@ -137,6 +137,18 @@ def _load() -> Optional[ctypes.CDLL]:
             sr.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
                            ctypes.c_int, _i32p, fp, fp, ct,
                            ctypes.c_int, ctypes.c_int, _i32p, fp]
+        _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+        lib.fasp_dia_offsets.restype = ctypes.c_int64
+        lib.fasp_dia_offsets.argtypes = [ctypes.c_int64, _i64p, _i64p,
+                                         ctypes.c_int64, _i64p]
+        lib.fasp_dia_fill_f64.restype = None
+        lib.fasp_dia_fill_f64.argtypes = [ctypes.c_int64, _i64p, _i64p,
+                                          _f64p, ctypes.c_int64, _i64p,
+                                          _f64p]
+        lib.fasp_dia_fill_f32.restype = None
+        lib.fasp_dia_fill_f32.argtypes = [ctypes.c_int64, _i64p, _i64p,
+                                          _f64p, ctypes.c_int64, _i64p,
+                                          _f32p]
         _lib = lib
         return _lib
 
@@ -150,6 +162,37 @@ def _csr_arrays(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     indices = np.ascontiguousarray(A.indices, dtype=np.int32)
     data = np.ascontiguousarray(A.data, dtype=np.float64)
     return indptr, indices, data, A.shape[0]
+
+
+def dia_from_csr(A, max_k: int = 128,
+                 out_dtype=None) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(offsets, row-aligned (k, n) bands) for a square f64 CSR matrix —
+    the OpenMP twin of ops.operators.dia_bands_from_csr.  None when the
+    native library is unavailable, the data is not f64, or the extraction
+    would be pathological (k > max_k)."""
+    lib = _load()
+    if lib is None or A.data.dtype != np.float64 or A.nrow != A.ncol \
+            or A.nrow == 0:
+        return None
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    n = A.nrow
+    offs = np.empty(max_k, dtype=np.int64)
+    k = int(lib.fasp_dia_offsets(n, indptr, indices, max_k, offs))
+    if k < 0 or k > max_k:
+        return None
+    offs = offs[:k].copy()
+    out_dtype = np.dtype(out_dtype) if out_dtype is not None \
+        else np.dtype(np.float64)
+    bands = np.zeros((k, n), dtype=out_dtype)
+    if out_dtype == np.float32:
+        lib.fasp_dia_fill_f32(n, indptr, indices, data, k, offs, bands)
+    elif out_dtype == np.float64:
+        lib.fasp_dia_fill_f64(n, indptr, indices, data, k, offs, bands)
+    else:
+        return None
+    return offs, bands
 
 
 def greedy_color(indptr, indices, n: int) -> Optional[Tuple[np.ndarray, int]]:

@@ -495,3 +495,68 @@ int fasp_pair_rap_3d_f32(int nz, int ny, int nx, int k, const int32_t* cf,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// DIA extraction: CSR -> (offsets, row-aligned bands).  The setup's single
+// largest host pass (nnz reads + k*n writes); two-phase with an offset
+// presence bitmap, rows parallelized with OpenMP.  Python twin:
+// ops/operators.py dia_bands_from_csr.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Phase 1: distinct diagonal offsets, ascending.  Returns k, or -k_true if
+// k_true exceeds max_k (offsets_out then holds nothing useful).
+int64_t fasp_dia_offsets(int64_t n, const int64_t* indptr,
+                         const int64_t* indices, int64_t max_k,
+                         int64_t* offsets_out) {
+    std::vector<uint8_t> present(2 * (size_t)n + 1, 0);
+    uint8_t* pres = present.data();
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
+            int64_t off = indices[j] - i + n;   // in [0, 2n]
+            if (!pres[off]) pres[off] = 1;       // benign race: idempotent
+        }
+    }
+    int64_t k = 0;
+    for (int64_t o = 0; o <= 2 * n; ++o) {
+        if (pres[o]) {
+            if (k < max_k) offsets_out[k] = o - n;
+            ++k;
+        }
+    }
+    return (k <= max_k) ? k : -k;
+}
+
+// Phase 2: scatter values into row-aligned bands (k, n); bands must be
+// zero-initialized.  Offsets ascending (binary search per entry, k small).
+void fasp_dia_fill_f64(int64_t n, const int64_t* indptr,
+                       const int64_t* indices, const double* data,
+                       int64_t k, const int64_t* offsets, double* bands) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
+            int64_t off = indices[j] - i;
+            const int64_t* p =
+                std::lower_bound(offsets, offsets + k, off);
+            bands[(p - offsets) * n + i] = data[j];
+        }
+    }
+}
+
+void fasp_dia_fill_f32(int64_t n, const int64_t* indptr,
+                       const int64_t* indices, const double* data,
+                       int64_t k, const int64_t* offsets, float* bands) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
+            int64_t off = indices[j] - i;
+            const int64_t* p =
+                std::lower_bound(offsets, offsets + k, off);
+            bands[(p - offsets) * n + i] = (float)data[j];
+        }
+    }
+}
+
+}  // extern "C"

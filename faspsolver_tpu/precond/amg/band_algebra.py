@@ -337,6 +337,34 @@ class BandMatrix:
                              tuple(tuple(int(v) for v in c) for c in coords),
                              tuple(int(d) for d in self.dims))
 
+    def to_stencil_operator(self, dtype=None, min_gain: float = 4.0):
+        """Compressed grid-aware device operator (StencilNdOperator): each
+        band is exactly factored by distinct-row/column grouping when that
+        compresses it (constant-coefficient stencils collapse to a few
+        scalars; Galerkin coarse bands to interior-constant + boundary
+        rows), else kept dense.  Factorization is over (axis0, rest).
+
+        The leaves stay HOST NumPy arrays — the caller's freeze moves them
+        (matching to_nd_operator's contract).
+        """
+        from ...ops.operators import (FactoredBand, StencilNdOperator,
+                                      factor_band_2d)
+        items = sorted(self.bands.items())
+        coords = tuple(tuple(int(v) for v in c) for c, _ in items)
+        np_dtype = np.dtype(dtype) if dtype is not None else self.dtype()
+        out = []
+        for _, b in items:
+            b = b.astype(np_dtype, copy=False)
+            fac = factor_band_2d(b.reshape(b.shape[0], -1),
+                                 min_gain=min_gain)
+            if fac is not None:
+                rs, core, cs = fac
+                out.append(FactoredBand(rs, core, cs))
+            else:
+                out.append(b)
+        return StencilNdOperator(tuple(out), coords,
+                                 tuple(int(d) for d in self.dims))
+
     def smoothed_rap_all_axes(self, dinv: Optional[np.ndarray],
                               omega: float, s: int
                               ) -> Optional["BandMatrix"]:

@@ -155,6 +155,11 @@ class AMGHierarchy:
     # empty = derive visits from cycle_type alone
     level_visits: Tuple[int, ...] = dataclasses.field(
         metadata=dict(static=True), default=())
+    # optional float64 fine-level operator (compressed stencil form) for
+    # device-resident mixed-precision refinement: the outer f64 residual
+    # runs on-device (XLA-emulated f64) so refinement needs no per-round
+    # host round-trips (solvers/refine.py: solve_refined_resident)
+    fine64: Optional[Any] = None
 
     @property
     def num_levels(self) -> int:

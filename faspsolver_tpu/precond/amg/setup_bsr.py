@@ -87,9 +87,14 @@ def setup_ua_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
     max_levels = min(param.max_levels, 20)
     while (len(host_levels) < max_levels
            and cur.nrow_block > max(param.coarse_dof // max(cur.nb, 1), 8)):
-        cond = cur.condense(norm_type=-1)
+        cond = cur.condense(norm_type=0)       # signed Linf (condenseBSRLinf)
         if param.aggregation_type == AggregationType.VMB:
             agg, nagg = aggregate_vmb(cond, theta, param.max_aggregation)
+            # reference's BSR adaptive threshold (PreAMGSetupUABSR.c:199-206)
+            if nagg * 4 > cond.nrow:
+                theta /= 8.0
+            elif nagg * 1.25 < cond.nrow:
+                theta *= 1.5
         else:
             agg, nagg = aggregate_pairwise(cond, param.pair_number,
                                            param.quality_bound)
@@ -99,7 +104,6 @@ def setup_ua_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
         aggs.append((agg, nagg))
         host_levels.append(Ac)
         cur = Ac
-        theta = theta * 0.5
 
     levels = []
     nlvl = len(host_levels)
@@ -171,9 +175,13 @@ def setup_sa_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
     max_levels = min(param.max_levels, 20)
     while (len(host_levels) < max_levels
            and cur.nrow_block > max(param.coarse_dof // max(nb, 1), 8)):
-        cond = cur.condense(norm_type=-1)
+        cond = cur.condense(norm_type=0)       # signed Linf (condenseBSRLinf)
         if param.aggregation_type == AggregationType.VMB:
             agg, nagg = aggregate_vmb(cond, theta, param.max_aggregation)
+            if nagg * 4 > cond.nrow:
+                theta /= 8.0
+            elif nagg * 1.25 < cond.nrow:
+                theta *= 1.5
         else:
             agg, nagg = aggregate_pairwise(cond, param.pair_number,
                                            param.quality_bound)
@@ -207,7 +215,6 @@ def setup_sa_bsr(A: BSRMatrix, param: Optional[AMGParam] = None,
                             (nrb, nagg)))
         host_levels.append(Ac)
         cur = Ac
-        theta = theta * 0.5
 
     levels = []
     nlvl = len(host_levels)

@@ -35,9 +35,16 @@ def setup_ua(A: CSRMatrix, param: Optional[AMGParam] = None,
     dtype = dtype or default_dtype()
 
     # TPU fast path: large banded matrices get the gather-free structured
-    # hierarchy (DIA operators + reshape pair transfers) — see structured.py
+    # hierarchy (DIA operators + reshape pair transfers) — see structured.py.
+    # Honesty rule (same as aggregate()'s substitution warning): the
+    # structured hierarchy IS pairwise aggregation specialized to grid
+    # structure, so it only auto-engages when the configured aggregation is
+    # compatible (PAIRWISE / NPAIR / default); a user who explicitly asked
+    # for VMB keeps the general path unless they pass structured=True.
     if structured is None:
-        structured = A.nrow > 100_000
+        compatible = int(param.aggregation_type) in (
+            int(AggregationType.PAIRWISE), int(AggregationType.NPAIR))
+        structured = A.nrow > 100_000 and compatible
     if structured:
         from .structured import setup_structured
         hier = setup_structured(A, param, dtype=dtype)

@@ -36,8 +36,8 @@ import numpy as np
 
 from ...constants import SmootherType
 from ...formats import CSRMatrix
-from ...ops.operators import (DiaOperator, default_dtype, dia_bands_from_csr,
-                              dia_fill_ok)
+from ...ops.operators import (DiaOperator, StencilNdOperator, default_dtype,
+                              dia_bands_from_csr, dia_fill_ok)
 from ...utils.params import AMGParam
 from .aggregation import _rap_boolean
 from .hierarchy import AMGHierarchy, AMGLevel, make_coarse_solver
@@ -48,6 +48,36 @@ from .smoothers import SmootherData
 # measured: all-nd hierarchies REGRESS the V-cycle (odd nx relayouts +
 # per-op overhead on small grids), 0.67s -> 1.0s solve at the bench size
 _ND_OPERATOR_MIN_N = 1 << 19
+
+# levels at or above this size prefer the compressed StencilNdOperator when
+# its exact band factorization actually compresses (constant-coefficient /
+# Galerkin-coarse stencils): zero band HBM traffic in the SpMV and ~1000x
+# smaller host->device transfer
+_STENCIL_MIN_N = 1 << 15
+
+
+def _grid_operator(cur, dtype):
+    """Pick the device operator for one structured level: compressed
+    stencil where the exact factorization wins, grid-aware full bands for
+    large levels, flat DIA for small ones."""
+    if cur.n >= _STENCIL_MIN_N:
+        op = cur.to_stencil_operator(dtype)
+        full = cur.n * len(op.bands) * np.dtype(dtype).itemsize
+        if op.device_bytes <= full // 2:
+            return op
+    if cur.n >= _ND_OPERATOR_MIN_N:
+        return cur.to_nd_operator()
+    offs_l, flat_l = cur.flat_offsets()
+    return DiaOperator(flat_l, tuple(int(o) for o in offs_l), cur.n)
+
+
+def _compact_vec(v: np.ndarray) -> np.ndarray:
+    """Collapse a constant vector to shape (1,) — broadcasts against flat
+    vectors everywhere it is used (smoother dinv, smoothed-transfer dinv),
+    skipping its host->device transfer."""
+    if v.size > 1 and v.flags.c_contiguous and (v == v.flat[0]).all():
+        return v[:1].copy()
+    return v
 
 
 # ---------------------------------------------------------------------------
@@ -310,6 +340,15 @@ def _freeze_device(tree, dtype):
         leaf_slot.append(slot_of[key])
     if not arrs:
         return tree
+    if sum(a.size for a in arrs) * np_dtype.itemsize <= (1 << 22):
+        # small tree (compressed stencil hierarchy): a concat+split program
+        # costs more (compile-cache load + device program load) than direct
+        # device_put transfers, which need no compiled program at all
+        dev_s = jax.device_put(arrs)
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [s if isinstance(s, jax.Array) else dev_s[s]
+             for s in leaf_slot])
     layout = []
     off = 0
     for a in arrs:
@@ -354,7 +393,7 @@ def _band_smoother(B, param, dtype, dinv=None) -> SmootherData:
             l1 += np.abs(b.reshape(-1))
         l1 = np.where(l1 != 0.0, l1, 1.0)
         return SmootherData(kind=kind, relax=float(param.relaxation),
-                            nsweep_scale=1, l1inv=1.0 / l1)
+                            nsweep_scale=1, l1inv=_compact_vec(1.0 / l1))
     bipartite = all(sum(c) % 2 for c in B.bands if any(c))
     if kind in (SmootherType.GS, SmootherType.SGS, SmootherType.SOR,
                 SmootherType.SSOR, SmootherType.GSOR, SmootherType.SGSOR,
@@ -375,8 +414,9 @@ def _band_smoother(B, param, dtype, dinv=None) -> SmootherData:
 def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
                      dtype=None,
                      dims: Optional[Tuple[int, ...]] = None,
-                     smooth_p: Optional[bool] = None
-                     ) -> Optional[AMGHierarchy]:
+                     smooth_p: Optional[bool] = None,
+                     keep_f64_fine: bool = False,
+                     pack: bool = False):
     """Build the gather-free structured hierarchy, or None if the matrix
     has no detectable band structure (callers then fall back to the general
     gather-based path).
@@ -446,16 +486,16 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
 
         # grid-aware per-axis shifts for LARGE levels (2.8x on the fine
         # SpMV: axis-0 moves stay sublane-aligned); small/odd-dim grids
-        # are faster flat (fixed per-op overhead + relayout dominate)
-        if cur.n >= _ND_OPERATOR_MIN_N:
-            op_l = cur.to_nd_operator()
-        else:
-            offs_l, flat_l = cur.flat_offsets()
-            op_l = DiaOperator(flat_l, tuple(int(o) for o in offs_l), cur.n)
+        # are faster flat (fixed per-op overhead + relayout dominate);
+        # exact-compressed stencil bands wherever the factorization wins
+        op_l = _grid_operator(cur, dtype)
 
         d = cur.diagonal()
         dinv = (1.0 / np.where(d != 0.0, d, 1.0)).astype(cur.dtype())
-        sm = _band_smoother(cur, param, dtype, dinv=dinv)
+        # device-bound copies broadcast from (1,) when constant; the host
+        # band algebra below (native smoothed RAP) needs the full vector
+        dinv_c = _compact_vec(dinv)
+        sm = _band_smoother(cur, param, dtype, dinv=dinv_c)
 
         if smooth_p:
             # P = S P_tent with S = I - w D^-1 A  =>
@@ -463,16 +503,19 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
             # the smoothed transfers COMPOSE with the level's own A (shared
             # arrays — nothing extra to store or upload).
             omega = param.tentative_smooth
-            P: object = SmoothedProlong(op_l, dinv, base_P, float(omega))
-            R: object = SmoothedRestrict(op_l, dinv, base_R, float(omega))
+            P: object = SmoothedProlong(op_l, dinv_c, base_P, float(omega))
+            R: object = SmoothedRestrict(op_l, dinv_c, base_R, float(omega))
         else:
             omega = 0.0
             P, R = base_P, base_R
         level = AMGLevel(A=op_l, P=P, R=R, smoother=sm)
-        if not levels:
-            # eagerly freeze the (dominant-size) fine level: its
+        if not levels and not pack and not isinstance(op_l,
+                                                      StencilNdOperator):
+            # eagerly freeze a full-band (dominant-size) fine level: its
             # host->device transfer streams while the coarse-level band
-            # products below run on the host CPU
+            # products below run on the host CPU.  A compressed stencil
+            # fine level is a few KB — freezing it here would only cost an
+            # extra split-program load.
             level = _freeze_device(level, dtype)
         levels.append(level)
 
@@ -513,15 +556,11 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
         coarse = CoarseSolver(inv=inv)
     else:
         from .hierarchy import IterativeCoarseSolver
-        if Bl.n >= _ND_OPERATOR_MIN_N:
-            op = Bl.to_nd_operator()
-        else:
-            offs_l, flat_l = Bl.flat_offsets()
-            op = DiaOperator(flat_l, tuple(int(o) for o in offs_l), Bl.n)
+        op = _grid_operator(Bl, dtype)
         levels.append(AMGLevel(A=op, P=None, R=None, smoother=None))
         d = Bl.diagonal()
         d = np.where(d != 0.0, d, 1.0)
-        coarse = IterativeCoarseSolver(A=op, dinv=1.0 / d)
+        coarse = IterativeCoarseSolver(A=op, dinv=_compact_vec(1.0 / d))
 
     amli_c = ()
     if param.amli_degree > 0:
@@ -536,5 +575,30 @@ def setup_structured(A: CSRMatrix, param: Optional[AMGParam] = None,
         coarse_scaling=bool(param.coarse_scaling),
         amli_degree=param.amli_degree,
         amli_coefs=amli_c)
+    # exact f64 fine operator for device-resident refinement; only
+    # worthwhile when the stencil compression makes it ~free to hold
+    op64_host = None
+    if keep_f64_fine and jax.config.jax_enable_x64:
+        B64 = BandMatrix.from_flat(offsets0, flat0, tuple(dims))
+        if B64 is not None:
+            cand = B64.to_stencil_operator(np.float64)
+            if cand.device_bytes <= (1 << 20):
+                op64_host = cand
+
+    if pack:
+        # packed freeze: ONE program-free transfer per precision; leaves
+        # become traced slices inside the consumer's own jitted program
+        # (see ops/packing.py for the measured rationale)
+        from ...ops.packing import PackedHierarchy, pack_pytree
+        p32 = pack_pytree(hier, dtype)
+        if p32 is not None:
+            p64 = (pack_pytree(op64_host, np.float64)
+                   if op64_host is not None else None)
+            return PackedHierarchy(p32=p32, p64=p64)
+
     # single batched host->device transfer of every array in the hierarchy
-    return _freeze_device(hier, dtype)
+    hier = _freeze_device(hier, dtype)
+    if op64_host is not None:
+        hier = dataclasses.replace(
+            hier, fine64=_freeze_device(op64_host, np.float64))
+    return hier

@@ -116,3 +116,148 @@ def solve_refined_device(op_hi, b, inner_solve: Callable,
     return RefinedResult(x=np.asarray(x), rounds=max_rounds,
                          inner_iters=total_inner, relres=relres,
                          converged=relres < tol)
+
+
+def make_resident_refiner(op64, op32, M, *, tol: float = 1e-6,
+                          max_rounds: int = 4, inner_tol: float = 1e-5,
+                          inner_floor: float = 5e-6, maxit_inner: int = 40):
+    """Build ONE jitted device program that runs the whole refinement.
+
+    Per round (all on device, zero host round-trips):
+    f64 true residual via ``op64`` (XLA-emulated f64 — cheap once per
+    round, and with a compressed stencil operator it costs no extra
+    coefficient memory) -> scale -> f32 AMG-PCG inner solve -> f64 solution
+    update.  The loop exits when the on-device f64 relative residual drops
+    below ``tol``.
+
+    This is the latency-robust form of :func:`solve_refined`: the host-loop
+    version pays ~0.4 s of transfer+readback per round through a tunneled
+    device link; here the solve is one dispatch + one final x readback.
+    Requires jax_enable_x64.
+    """
+    import jax
+
+    tol_ = float(tol)
+    fn = _resident_refine_fn(tol_, float(inner_tol), float(inner_floor),
+                             int(max_rounds), int(maxit_inner))
+
+    def run(b64):
+        return fn(op64, op32, M, b64)
+
+    def _compile(b_spec):
+        """AOT-compile for a b of the given ShapeDtypeStruct; returns a
+        callable taking b only (operators bound)."""
+        ex = fn.lower(op64, op32, M, b_spec).compile()
+        return lambda b64: ex(op64, op32, M, b64)
+
+    run.compile = _compile
+    return run
+
+
+def _refine_body(op64, op32, M, b64, tol_, inner_tol, inner_floor,
+                 max_rounds, maxit_inner):
+    """Traced refinement loop (shared by the arg-passing and packed
+    jitted wrappers)."""
+    import jax
+    from ..krylov import pcg
+
+    bnorm = jnp.maximum(jnp.sqrt(jnp.vdot(b64, b64)), 1e-300)
+    x0 = jnp.zeros_like(b64)
+    state = dict(x=x0, r=b64, relres=jnp.asarray(1.0, b64.dtype),
+                 rnd=jnp.int32(0), iters=jnp.int32(0))
+
+    def cond(s):
+        return (s["relres"] >= tol_) & (s["rnd"] < max_rounds)
+
+    def body(s):
+        r = s["r"]
+        scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-300)
+        need = jnp.clip(0.3 * tol_ / jnp.maximum(s["relres"], 1e-300),
+                        inner_floor, inner_tol)
+        r32 = (r / scale).astype(op32.dtype)
+        res = pcg(op32, r32, M=M, tol=need.astype(r32.dtype),
+                  maxit=maxit_inner)
+        x = s["x"] + scale * res.x.astype(b64.dtype)
+        rn = b64 - op64(x)
+        relres = jnp.sqrt(jnp.vdot(rn, rn)) / bnorm
+        return dict(x=x, r=rn, relres=relres, rnd=s["rnd"] + 1,
+                    iters=s["iters"] + res.iters.astype(jnp.int32))
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["x"], out["relres"], out["rnd"], out["iters"]
+
+
+def _resident_refine_fn(tol_, inner_tol, inner_floor, max_rounds,
+                        maxit_inner):
+    """The jitted refinement program; operators/preconditioner are pytree
+    ARGUMENTS (not closure constants), so XLA treats their arrays as
+    parameters and the compiled program is reusable across hierarchies of
+    the same structure."""
+    import jax
+
+    @jax.jit
+    def run(op64, op32, M, b64):
+        return _refine_body(op64, op32, M, b64, tol_, inner_tol,
+                            inner_floor, max_rounds, maxit_inner)
+
+    return run
+
+
+def make_resident_refiner_packed(packed, *, tol: float = 1e-6,
+                                 max_rounds: int = 4,
+                                 inner_tol: float = 1e-5,
+                                 inner_floor: float = 5e-6,
+                                 maxit_inner: int = 40, M_maxit: int = 1):
+    """Resident refiner over a :class:`~..ops.packing.PackedHierarchy`:
+    the hierarchy is rebuilt from its flat buffers INSIDE the jitted
+    program, so freezing it never costs an extra XLA program or per-leaf
+    transfer (ops/packing.py).  The packed hierarchy must carry its f64
+    fine operator (setup_structured(..., keep_f64_fine=True, pack=True))."""
+    import jax
+    from ..precond import AMGPrecond
+
+    if packed.p64 is None:
+        raise ValueError("packed hierarchy has no f64 fine operator")
+    tol_, it_, if_ = float(tol), float(inner_tol), float(inner_floor)
+    mr_, mi_ = int(max_rounds), int(maxit_inner)
+
+    @jax.jit
+    def runp(b32buf, b64buf, b64):
+        hier = packed.unpack(b32buf, b64buf)
+        M = AMGPrecond(hier, maxit=M_maxit)
+        return _refine_body(hier.fine64, hier.levels[0].A, M, b64,
+                            tol_, it_, if_, mr_, mi_)
+
+    def run(b64):
+        return runp(packed.p32.buf, packed.p64.buf, b64)
+
+    def _compile(b_spec):
+        ex = runp.lower(packed.p32.buf, packed.p64.buf, b_spec).compile()
+        return lambda b64: ex(packed.p32.buf, packed.p64.buf, b64)
+
+    run.compile = _compile
+    return run
+
+
+def solve_refined_resident(hier, b, M=None, *, tol: float = 1e-6,
+                           max_rounds: int = 4, inner_tol: float = 1e-5,
+                           inner_floor: float = 5e-6,
+                           maxit_inner: int = 40) -> RefinedResult:
+    """Device-resident refinement driven by an AMG hierarchy that carries
+    its f64 fine operator (``setup_structured(..., keep_f64_fine=True)``).
+    Falls back is the caller's job: ``hier.fine64 is None`` raises."""
+    if hier.fine64 is None:
+        raise ValueError("hierarchy has no f64 fine operator "
+                         "(setup_structured(..., keep_f64_fine=True))")
+    if M is None:
+        from ..precond import AMGPrecond
+        M = AMGPrecond(hier)
+    run = make_resident_refiner(hier.fine64, hier.levels[0].A, M, tol=tol,
+                                max_rounds=max_rounds, inner_tol=inner_tol,
+                                inner_floor=inner_floor,
+                                maxit_inner=maxit_inner)
+    x, relres, rnd, iters = run(jnp.asarray(np.asarray(b), jnp.float64))
+    relres_f = float(relres)
+    return RefinedResult(x=np.asarray(x), rounds=int(rnd),
+                         inner_iters=int(iters), relres=relres_f,
+                         converged=relres_f < tol)

@@ -1,4 +1,5 @@
-from .fdm import (poisson_2d, poisson_2d_manufactured, poisson_3d,
+from .fdm import (block_poisson_3d, poisson_2d,
+                  poisson_2d_manufactured, poisson_3d,
                   poisson_3d_manufactured)
 from .fem import (TriMesh, assemble_mass, assemble_poisson,
                   heat_backward_euler_system, l2_error,

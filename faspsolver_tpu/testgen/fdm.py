@@ -79,3 +79,20 @@ def poisson_3d_manufactured(nx: int
          + 0.5 * np.einsum("i,j,k->ijk", q, s, q)).reshape(-1)
     b = A.matvec(u)
     return A, b, u
+
+
+def block_poisson_3d(nx: int, ny: int = 0, nz: int = 0, nb: int = 3,
+                     coupling: float = 0.1):
+    """Block-expanded 3-D Poisson: each scalar stencil entry becomes an
+    nb x nb SPD block ``a_ij * (I + coupling*(1-I))`` — a generated BSR
+    system large enough for real multilevel block-AMG exercises (the
+    shipped SPE01 sample is only 302 blocks; BASELINE.md directs scaling
+    runs to generated 3-D systems, reference generator test/src/FdmPoisson.c
+    + testfdm3d.cpp)."""
+    from ..formats import BSRMatrix
+
+    A = poisson_3d(nx, ny or nx, nz or nx)
+    blk = np.eye(nb) + coupling * (np.ones((nb, nb)) - np.eye(nb))
+    data = A.data[:, None, None] * blk[None]
+    return BSRMatrix(A.indptr.copy(), A.indices.copy(),
+                     np.ascontiguousarray(data), (A.nrow, A.ncol))

@@ -277,3 +277,101 @@ def test_pallas_stencil_kernel_interpret():
     xc = RNG.standard_normal(Bc.n)
     np.testing.assert_allclose(np.asarray(spmv9(jnp.asarray(xc))),
                                Bc.to_csr().matvec(xc), rtol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# round 3: compressed stencil operators + native DIA extraction +
+# device-resident refinement
+# ---------------------------------------------------------------------------
+
+def test_factor_band_exact():
+    from faspsolver_tpu.ops.operators import factor_band_2d
+    rng = np.random.default_rng(3)
+    # constant band -> 3-entry factorization
+    band = np.full((40, 50), -1.25)
+    rs, core, cs = factor_band_2d(band)
+    assert rs.size + core.size + cs.size <= 6
+    rec = rs @ (core @ cs)
+    assert np.array_equal(np.broadcast_to(rec, band.shape), band)
+    # Galerkin-like band: interior constant, distinct boundary rows/cols
+    band = np.full((40, 50), 2.0)
+    band[0, :] = 3.0
+    band[-1, :] = 4.0
+    band[:, 0] *= 0.5
+    band[:, -2:] *= 0.25
+    fac = factor_band_2d(band)
+    assert fac is not None
+    rs, core, cs = fac
+    rec = np.broadcast_to(rs @ (core @ cs), band.shape)
+    assert np.array_equal(rec, band)      # EXACT, not allclose
+    # random band: incompressible -> None
+    assert factor_band_2d(rng.standard_normal((40, 50))) is None
+
+
+def test_stencil_operator_matches_dia_nd():
+    from faspsolver_tpu.precond.amg.structured import _grid_operator
+    A = poisson_2d(33)
+    B = BandMatrix.from_csr(A, (33, 33))
+    op_nd = B.to_nd_operator()
+    op_st = B.to_stencil_operator()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.nrow)
+    y_nd = np.asarray(op_nd(jnp.asarray(x)))
+    y_st = np.asarray(op_st(jnp.asarray(x)))
+    assert np.array_equal(y_nd, y_st)
+    assert np.array_equal(np.asarray(op_nd.diagonal()),
+                          np.asarray(op_st.diagonal()))
+    # coarse Galerkin level stays exact through compression
+    d = B.diagonal()
+    dinv = 1.0 / np.where(d != 0, d, 1.0)
+    Bc = B.smoothed_rap_all_axes(dinv, 0.67, 3)
+    xc = rng.standard_normal(Bc.n)
+    yc_nd = np.asarray(Bc.to_nd_operator()(jnp.asarray(xc)))
+    yc_st = np.asarray(Bc.to_stencil_operator()(jnp.asarray(xc)))
+    assert np.array_equal(yc_nd, yc_st)
+
+
+def test_native_dia_extraction_parity():
+    from faspsolver_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for mat in (poisson_2d(29), poisson_3d(7)):
+        nat = native.dia_from_csr(mat)
+        assert nat is not None
+        n = mat.nrow
+        rows = np.repeat(np.arange(n, dtype=np.int64), mat.row_nnz())
+        off = mat.indices.astype(np.int64) - rows
+        offsets = np.unique(off)
+        pos = np.searchsorted(offsets, off)
+        bands = np.zeros((len(offsets), n), dtype=mat.data.dtype)
+        bands[pos, rows] = mat.data
+        assert np.array_equal(nat[0], offsets)
+        assert np.array_equal(nat[1], bands)
+
+
+def test_resident_refiner_converges():
+    from faspsolver_tpu.solvers import solve_refined_resident
+    A = poisson_2d(63)
+    param = AMGParam(smoother=int(SmootherType.CHEBYSHEV),
+                     polynomial_degree=2, coarse_dof=500,
+                     tentative_smooth=0.67)
+    hier = setup_structured(A, param, dtype=jnp.float32, smooth_p=True,
+                            keep_f64_fine=True)
+    assert hier is not None and hier.fine64 is not None
+    b = A.matvec(np.ones(A.nrow))
+    res = solve_refined_resident(hier, b, tol=1e-8)
+    assert res.converged
+    # the device-reported relres must equal the true host f64 residual
+    r = b - A.matvec(res.x)
+    host = float(np.linalg.norm(r) / np.linalg.norm(b))
+    assert host < 1e-8
+    assert abs(host - res.relres) <= 1e-12 + 1e-6 * host
+
+
+def test_compact_vec():
+    from faspsolver_tpu.precond.amg.structured import _compact_vec
+    v = np.full(100, 3.5)
+    c = _compact_vec(v)
+    assert c.shape == (1,) and c[0] == 3.5
+    w = np.arange(5.0)
+    assert _compact_vec(w) is w
