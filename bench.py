@@ -119,9 +119,9 @@ def main() -> None:
                                 keep_f64_fine=True, pack=True)
         assert hier is not None and hasattr(hier, "p32"), \
             "bench problem must take the packed structured path"
-        # program-free transfer sync: fetch both flat buffers back
-        np.asarray(hier.p32.buf)
-        np.asarray(hier.p64.buf)
+        # program-free transfer sync: fetch the flat buffers back
+        for _b in hier.p32.bufs + hier.p64.bufs:
+            np.asarray(_b)
         setup_runs.append(time.perf_counter() - t0)
     setup_s = setup_runs[0]
     assert hier.p64 is not None

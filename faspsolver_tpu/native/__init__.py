@@ -138,6 +138,20 @@ def _load() -> Optional[ctypes.CDLL]:
                            ctypes.c_int, _i32p, fp, fp, ct,
                            ctypes.c_int, ctypes.c_int, _i32p, fp]
         _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+        lib.fasp_rap_symb.restype = ctypes.c_int64
+        lib.fasp_rap_symb.argtypes = [ctypes.c_int64] + [_i64p] * 7
+        lib.fasp_rap_fill.restype = None
+        lib.fasp_rap_fill.argtypes = [ctypes.c_int64,
+                                      _i64p, _i64p, _f64p,
+                                      _i64p, _i64p, _f64p,
+                                      _i64p, _i64p, _f64p,
+                                      _i64p, _i64p, _f64p]
+        lib.fasp_rap.restype = ctypes.c_int64
+        lib.fasp_rap.argtypes = [ctypes.c_int64,
+                                 _i64p, _i64p, _f64p,
+                                 _i64p, _i64p, _f64p,
+                                 _i64p, _i64p, _f64p,
+                                 ctypes.c_int64, _i64p, _i64p, _f64p]
         lib.fasp_dia_offsets.restype = ctypes.c_int64
         lib.fasp_dia_offsets.argtypes = [ctypes.c_int64, _i64p, _i64p,
                                          ctypes.c_int64, _i64p]
@@ -193,6 +207,39 @@ def dia_from_csr(A, max_k: int = 128,
     else:
         return None
     return offs, bands
+
+
+def rap(R, A, P):
+    """Fused Galerkin product C = R A P for general CSR matrices — the
+    OpenMP twin of the reference's fasp_blas_dcsr_rap (BlaSpmvCSR.c:999).
+    Returns a CSRMatrix with sorted row indices, or None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ..formats import CSRMatrix
+
+    def _arrs(M):
+        return (np.ascontiguousarray(M.indptr, dtype=np.int64),
+                np.ascontiguousarray(M.indices, dtype=np.int64),
+                np.ascontiguousarray(M.data, dtype=np.float64))
+
+    Rp, Rj, Rx = _arrs(R)
+    Ap_, Aj, Ax = _arrs(A)
+    Pp, Pj, Px = _arrs(P)
+    nc = R.shape[0]
+    Cp = np.empty(nc + 1, dtype=np.int64)
+    cap = max(int(1.3 * A.nnz) + 8 * nc, 1 << 12)
+    for _ in range(3):
+        Cj = np.empty(cap, dtype=np.int64)
+        Cx = np.empty(cap, dtype=np.float64)
+        nnz = int(lib.fasp_rap(nc, Rp, Rj, Rx, Ap_, Aj, Ax, Pp, Pj, Px,
+                               cap, Cp, Cj, Cx))
+        if nnz >= 0:
+            return CSRMatrix(Cp, Cj[:nnz].copy(), Cx[:nnz].copy(),
+                             (nc, P.shape[1]))
+        cap *= 4
+    return None
 
 
 def greedy_color(indptr, indices, n: int) -> Optional[Tuple[np.ndarray, int]]:

@@ -560,3 +560,189 @@ void fasp_dia_fill_f32(int64_t n, const int64_t* indptr,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused general-CSR Galerkin triple product C = R A P — the reference's
+// hottest setup kernel (fasp_blas_dcsr_rap, BlaSpmvCSR.c:999): two-pass
+// symbolic/numeric row merge, OpenMP over coarse rows with thread-local
+// marker/accumulator arrays.  Column indices are emitted sorted so the
+// Python CSRMatrix constructor skips its canonicalization lexsort.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Pass 1 (symbolic): per-coarse-row nnz counts into Cp[1..nc] (caller
+// exclusive-scans).  Returns total nnz.
+int64_t fasp_rap_symb(int64_t nc, const int64_t* Rp, const int64_t* Rj,
+                      const int64_t* Ap, const int64_t* Aj,
+                      const int64_t* Pp, const int64_t* Pj,
+                      int64_t* Cp) {
+    Cp[0] = 0;
+#pragma omp parallel
+    {
+        std::vector<int64_t> marker(nc, -1);
+#pragma omp for schedule(dynamic, 64)
+        for (int64_t i = 0; i < nc; ++i) {
+            int64_t cnt = 0;
+            for (int64_t kr = Rp[i]; kr < Rp[i + 1]; ++kr) {
+                const int64_t k = Rj[kr];
+                for (int64_t ka = Ap[k]; ka < Ap[k + 1]; ++ka) {
+                    const int64_t j = Aj[ka];
+                    for (int64_t kp = Pp[j]; kp < Pp[j + 1]; ++kp) {
+                        const int64_t c = Pj[kp];
+                        if (marker[c] != i) {
+                            marker[c] = i;
+                            ++cnt;
+                        }
+                    }
+                }
+            }
+            Cp[i + 1] = cnt;
+        }
+    }
+    int64_t tot = 0;
+    for (int64_t i = 0; i < nc; ++i) {
+        tot += Cp[i + 1];
+        Cp[i + 1] = tot;
+    }
+    return tot;
+}
+
+// Pass 2 (numeric): fill Cj/Cx given the row pointer from pass 1.
+void fasp_rap_fill(int64_t nc, const int64_t* Rp, const int64_t* Rj,
+                   const double* Rx, const int64_t* Ap, const int64_t* Aj,
+                   const double* Ax, const int64_t* Pp, const int64_t* Pj,
+                   const double* Px, const int64_t* Cp, int64_t* Cj,
+                   double* Cx) {
+#pragma omp parallel
+    {
+        std::vector<int64_t> marker(nc, -1);
+        std::vector<double> w(nc, 0.0);
+        std::vector<int64_t> cols;
+        cols.reserve(256);
+#pragma omp for schedule(dynamic, 64)
+        for (int64_t i = 0; i < nc; ++i) {
+            cols.clear();
+            for (int64_t kr = Rp[i]; kr < Rp[i + 1]; ++kr) {
+                const int64_t k = Rj[kr];
+                const double r = Rx[kr];
+                for (int64_t ka = Ap[k]; ka < Ap[k + 1]; ++ka) {
+                    const int64_t j = Aj[ka];
+                    const double ra = r * Ax[ka];
+                    for (int64_t kp = Pp[j]; kp < Pp[j + 1]; ++kp) {
+                        const int64_t c = Pj[kp];
+                        const double v = ra * Px[kp];
+                        if (marker[c] != i) {
+                            marker[c] = i;
+                            w[c] = v;
+                            cols.push_back(c);
+                        } else {
+                            w[c] += v;
+                        }
+                    }
+                }
+            }
+            std::sort(cols.begin(), cols.end());
+            int64_t out = Cp[i];
+            for (int64_t c : cols) {
+                Cj[out] = c;
+                Cx[out] = w[c];
+                ++out;
+            }
+        }
+    }
+}
+
+}  // extern "C"
+
+// Single-pass fused RAP: each thread computes a contiguous coarse-row
+// range into local buffers (symbolic+numeric fused, cancelled zeros
+// dropped inline), then copies into the caller's arrays.  Returns nnz,
+// or -1 when the caller's capacity is insufficient (caller retries with
+// a larger cap).  ~2x the two-pass variant: the triple loop runs once.
+extern "C" int64_t fasp_rap(int64_t nc,
+                            const int64_t* Rp, const int64_t* Rj,
+                            const double* Rx,
+                            const int64_t* Ap, const int64_t* Aj,
+                            const double* Ax,
+                            const int64_t* Pp, const int64_t* Pj,
+                            const double* Px,
+                            int64_t cap, int64_t* Cp, int64_t* Cj,
+                            double* Cx) {
+    int nt = 1;
+#ifdef _OPENMP
+    nt = omp_get_max_threads();
+#endif
+    std::vector<std::vector<int64_t>> tcols((size_t)nt);
+    std::vector<std::vector<double>> tvals((size_t)nt);
+    std::vector<int64_t> lo((size_t)nt + 1);
+    for (int t = 0; t <= nt; ++t) lo[t] = nc * (int64_t)t / nt;
+
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        std::vector<int64_t> marker(nc, -1);
+        std::vector<double> w(nc, 0.0);
+        std::vector<int64_t> cols;
+        cols.reserve(64);
+        auto& oc = tcols[t];
+        auto& ov = tvals[t];
+        oc.reserve((size_t)(Rp[nc] / nt + 64));
+        ov.reserve((size_t)(Rp[nc] / nt + 64));
+        for (int64_t i = lo[t]; i < lo[t + 1]; ++i) {
+            cols.clear();
+            for (int64_t kr = Rp[i]; kr < Rp[i + 1]; ++kr) {
+                const int64_t k = Rj[kr];
+                const double r = Rx[kr];
+                for (int64_t ka = Ap[k]; ka < Ap[k + 1]; ++ka) {
+                    const int64_t j = Aj[ka];
+                    const double ra = r * Ax[ka];
+                    for (int64_t kp = Pp[j]; kp < Pp[j + 1]; ++kp) {
+                        const int64_t c = Pj[kp];
+                        if (marker[c] != i) {
+                            marker[c] = i;
+                            w[c] = ra * Px[kp];
+                            cols.push_back(c);
+                        } else {
+                            w[c] += ra * Px[kp];
+                        }
+                    }
+                }
+            }
+            std::sort(cols.begin(), cols.end());
+            // row terminator: store count via Cp (filled after)
+            int64_t cnt = 0;
+            for (int64_t c : cols) {
+                if (w[c] != 0.0) {
+                    oc.push_back(c);
+                    ov.push_back(w[c]);
+                    ++cnt;
+                }
+            }
+            Cp[i + 1] = cnt;       // per-row count (prefix-summed below)
+        }
+    }
+    Cp[0] = 0;
+    for (int64_t i = 0; i < nc; ++i) Cp[i + 1] += Cp[i];
+    const int64_t nnz = Cp[nc];
+    if (nnz > cap) return -1;
+    // stitch: thread t's rows are contiguous, so its block lands at
+    // Cp[lo[t]]
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        std::memcpy(Cj + Cp[lo[t]], tcols[t].data(),
+                    tcols[t].size() * sizeof(int64_t));
+        std::memcpy(Cx + Cp[lo[t]], tvals[t].data(),
+                    tvals[t].size() * sizeof(double));
+    }
+    return nnz;
+}

@@ -46,6 +46,38 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+# ---------------------------------------------------------------------------
+# deferred device placement: under defer_device(), operator constructors
+# keep HOST NumPy leaves so a whole hierarchy can be frozen afterwards by
+# ONE packed transfer (ops/packing.py) instead of ~20 ms-latency per-leaf
+# uploads through the tunneled device link
+# ---------------------------------------------------------------------------
+
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_DEFER_DEVICE = _contextvars.ContextVar("fasp_defer_device", default=False)
+
+
+@_contextlib.contextmanager
+def defer_device():
+    """Context: operator/smoother constructors keep NumPy leaves."""
+    tok = _DEFER_DEVICE.set(True)
+    try:
+        yield
+    finally:
+        _DEFER_DEVICE.reset(tok)
+
+
+def asdev(a, dtype=None):
+    """jnp.asarray, or a plain NumPy array under defer_device()."""
+    arr = np.asarray(a) if dtype is None else \
+        np.asarray(a, dtype=np.dtype(dtype))
+    if _DEFER_DEVICE.get():
+        return arr
+    return jnp.asarray(arr)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -98,7 +130,7 @@ class EllOperator:
             slot = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_per_row)
             cols[rows, slot] = A.indices
             vals[rows, slot] = A.data.astype(np.dtype(dtype))
-        return cls(jnp.asarray(cols), jnp.asarray(vals), n, ncol)
+        return cls(asdev(cols), asdev(vals), n, ncol)
 
     def padding_ratio(self, A_nnz: int) -> float:
         return self.cols.size / max(A_nnz, 1)
@@ -160,14 +192,14 @@ class DiaOperator:
     def from_csr(cls, A: CSRMatrix, dtype=None) -> "DiaOperator":
         dtype = dtype or default_dtype()
         offsets, bands = dia_bands_from_csr(A)
-        return cls(jnp.asarray(bands.astype(np.dtype(dtype))),
+        return cls(asdev(bands.astype(np.dtype(dtype))),
                    tuple(int(o) for o in offsets), A.nrow)
 
     @classmethod
     def from_bands(cls, offsets, bands: np.ndarray, dtype=None
                    ) -> "DiaOperator":
         dtype = dtype or default_dtype()
-        return cls(jnp.asarray(np.asarray(bands).astype(np.dtype(dtype))),
+        return cls(asdev(np.asarray(bands).astype(np.dtype(dtype))),
                    tuple(int(o) for o in offsets), bands.shape[1])
 
 
@@ -516,7 +548,7 @@ class CooOperator:
         rows[:nnz] = np.repeat(np.arange(n), A.row_nnz())
         cols[:nnz] = A.indices
         vals[:nnz] = A.data.astype(np.dtype(dtype))
-        return cls(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        return cls(asdev(rows), asdev(cols), asdev(vals),
                    n, ncol)
 
 
@@ -552,7 +584,8 @@ class BsrEllOperator:
     def __call__(self, x: jax.Array) -> jax.Array:
         xb = x.reshape(self.nbcol, self.nb)
         gathered = xb[self.cols]                       # (nbrow, k, nb)
-        y = jnp.einsum("rkab,rkb->ra", self.vals, gathered)
+        y = jnp.einsum("rkab,rkb->ra", self.vals, gathered,
+                       precision=jax.lax.Precision.HIGHEST)
         return y.reshape(-1)
 
     @classmethod
@@ -570,7 +603,7 @@ class BsrEllOperator:
                     - np.repeat(A.indptr[:-1], nnz_per_row))
             cols[rows, slot] = A.indices
             vals[rows, slot] = A.data.astype(np.dtype(dtype))
-        return cls(jnp.asarray(cols), jnp.asarray(vals), nbrow, nbcol, nb)
+        return cls(asdev(cols), asdev(vals), nbrow, nbcol, nb)
 
 
 @jax.tree_util.register_dataclass
@@ -595,12 +628,15 @@ class DenseOperator:
         return self.mat.dtype
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return self.mat @ x
+        # full-precision matmul: TPU's default f32 matmul uses bf16 passes
+        # — a ~3-digit operator would distort coarse-level corrections
+        return jnp.matmul(self.mat, x,
+                          precision=jax.lax.Precision.HIGHEST)
 
     @classmethod
     def from_csr(cls, A: CSRMatrix, dtype=None) -> "DenseOperator":
         dtype = dtype or default_dtype()
-        return cls(jnp.asarray(A.to_dense(), dtype=dtype), A.nrow)
+        return cls(asdev(A.to_dense(), dtype=dtype), A.nrow)
 
 
 class _StaticFn:
@@ -656,6 +692,120 @@ class MatFreeOperator:
 
 # ELL density guard: if padded storage exceeds this multiple of nnz, use COO.
 _ELL_PADDING_LIMIT = 3.0
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HybridDiaOperator:
+    """DIA + COO-remainder operator: the mostly-banded case.
+
+    Classical-AMG Galerkin coarse operators of grid problems keep most of
+    their nonzeros on a few dozen dominant diagonals with a thin irregular
+    tail (renumbering defects near boundaries).  Streaming the dominant
+    bands gather-free and handling only the tail by gather keeps the SpMV
+    within ~2x of pure DIA instead of paying the full ~165x TPU gather
+    penalty on every nonzero (measured: arbitrary gathers ~44 ms / 5M
+    elements vs banded reads ~0.27 ms)."""
+
+    dia: DiaOperator
+    rem: CooOperator
+
+    @property
+    def n(self) -> int:
+        return self.dia.n
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.dia.shape
+
+    @property
+    def ncol(self) -> int:
+        return self.dia.n
+
+    @property
+    def dtype(self):
+        return self.dia.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.dia.bands.size + self.rem.vals.size)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.dia(x) + self.rem(x)
+
+    def diagonal(self) -> jax.Array:
+        return self.dia.diagonal()
+
+
+def best_operator(A: CSRMatrix, dtype=None, max_bands: int = 64,
+                  min_band_frac: float = 0.02, min_coverage: float = 0.5,
+                  fill_limit: float = 8.0):
+    """Adaptive per-level operator selection by sparsity shape:
+    pure DIA for banded matrices, DIA+COO hybrid for mostly-banded ones
+    (AMG coarse levels of grid problems), ELL/COO otherwise, dense for
+    tiny levels.  This is the per-level format dispatch the SURVEY design
+    stance calls for ("formats are just different operator
+    implementations") — the ALGORITHM stays general; the storage adapts."""
+    dtype = dtype or default_dtype()
+    n = A.nrow
+    if A.nrow != A.ncol or A.nnz == 0:
+        return device_operator(A, dtype=dtype)
+    if n <= 256:
+        return DenseOperator.from_csr(A, dtype=dtype)
+    rows = np.repeat(np.arange(n, dtype=np.int64), A.row_nnz())
+    off = A.indices.astype(np.int64) - rows
+    # O(nnz) offset histogram (np.unique would lexsort all nnz offsets —
+    # ~3 s at 7M nnz)
+    hist = np.bincount(off + n, minlength=2 * n + 1)
+    cand = np.nonzero(hist >= max(min_band_frac * n, 1))[0]
+    order = cand[np.argsort(-hist[cand])][:max_bands]
+    # trim the sparse tail: dense bands (>=10% filled) always pay off;
+    # thinner ones only until 90% coverage — past that the COO remainder
+    # is cheaper than streaming a nearly-empty band
+    csum = np.cumsum(hist[order])
+    keep_n = int(np.searchsorted(csum, 0.9 * A.nnz) + 1)
+    dense_n = int((hist[order] >= 0.1 * n).sum())
+    order = order[:max(keep_n, dense_n, 1)]
+    covered = int(hist[order].sum())
+    if (len(order) == 0 or covered < min_coverage * A.nnz
+            or len(order) * n > fill_limit * A.nnz):
+        return device_operator(A, dtype=dtype)
+    keep_offs = np.sort(order.astype(np.int64) - n)
+    # direct offset->band-slot map (searchsorted over nnz costs ~1 s at 7M)
+    slot_arr = np.full(2 * n + 1, -1, dtype=np.int32)
+    slot_arr[keep_offs + n] = np.arange(len(keep_offs), dtype=np.int32)
+    slots = slot_arr[off + n]
+    inband = slots >= 0
+    bands = np.zeros((len(keep_offs), n), dtype=np.dtype(dtype))
+    bands[slots[inband], rows[inband]] = A.data[inband]
+    nrem = A.nnz - covered
+    if nrem == 0:
+        # fully banded: grid-detectable levels compress to an exact
+        # factored stencil (KB instead of MB of band transfer)
+        from ..precond.amg.band_algebra import BandMatrix
+        from ..precond.amg.structured import detect_dims
+        dims = detect_dims(keep_offs, n)
+        if dims is not None and len(dims) > 1:
+            B = BandMatrix.from_flat(keep_offs, bands, tuple(dims))
+            if B is not None:
+                st = B.to_stencil_operator(np.dtype(dtype))
+                if st.device_bytes <= bands.nbytes // 2:
+                    if _DEFER_DEVICE.get():
+                        return st
+                    return jax.tree_util.tree_map(jnp.asarray, st)
+        return DiaOperator(asdev(bands),
+                           tuple(int(o) for o in keep_offs), n)
+    dia = DiaOperator(asdev(bands), tuple(int(o) for o in keep_offs), n)
+    pad = _round_up(nrem, 128)
+    r_rows = np.full(pad, n, dtype=np.int32)
+    r_cols = np.zeros(pad, dtype=np.int32)
+    r_vals = np.zeros(pad, dtype=np.dtype(dtype))
+    outb = ~inband
+    r_rows[:nrem] = rows[outb]
+    r_cols[:nrem] = A.indices[outb]
+    r_vals[:nrem] = A.data[outb]
+    rem = CooOperator(asdev(r_rows), asdev(r_cols), asdev(r_vals), n, n)
+    return HybridDiaOperator(dia=dia, rem=rem)
 
 
 def device_operator(A, dtype=None, prefer: Optional[str] = None):

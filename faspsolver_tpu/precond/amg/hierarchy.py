@@ -61,7 +61,11 @@ class CoarseSolver:
     inv: jax.Array
 
     def __call__(self, b: jax.Array) -> jax.Array:
-        return self.inv @ b
+        # HIGHEST matmul precision: TPU's default f32 matmul runs in
+        # bf16 passes, which degrades the coarse solve to ~3 digits and
+        # costs V-cycle iterations (the level is tiny — full precision
+        # is free)
+        return jnp.matmul(self.inv, b, precision=jax.lax.Precision.HIGHEST)
 
     @classmethod
     def from_dense(cls, mat) -> "CoarseSolver":
@@ -70,7 +74,8 @@ class CoarseSolver:
             inv = np.linalg.inv(mat64)
         except np.linalg.LinAlgError:
             inv = np.linalg.pinv(mat64)
-        return cls(inv=jnp.asarray(inv.astype(np.asarray(mat).dtype)))
+        from ...ops.operators import asdev
+        return cls(inv=asdev(inv.astype(np.asarray(mat).dtype)))
 
 
 @jax.tree_util.register_dataclass
@@ -129,7 +134,7 @@ def make_coarse_solver(A_host, dtype):
     d = np.where(d != 0.0, d, 1.0)
     return IterativeCoarseSolver(
         A=device_operator(A_csr, dtype=dtype),
-        dinv=jnp.asarray(1.0 / d, dtype=dtype))
+        dinv=asdev(1.0 / d, dtype=dtype))
 
 
 @jax.tree_util.register_dataclass

@@ -13,7 +13,8 @@ import numpy as np
 
 from ...constants import CGPT, InterpType
 from ...formats import CSRMatrix
-from ...ops.operators import EllOperator, default_dtype, device_operator
+from ...ops.operators import (EllOperator, best_operator, default_dtype,
+                              device_operator)
 from ...utils.params import AMGParam
 from .coarsen_rs import coarsen
 from .hierarchy import (AMGHierarchy, AMGLevel, CoarseSolver,
@@ -23,8 +24,52 @@ from .smoothers import build_smoother
 from .transfer import csr_transfer
 
 
+def _rap(P: CSRMatrix, A: CSRMatrix, R: CSRMatrix) -> CSRMatrix:
+    """Galerkin product A_c = R A P: native fused single-pass OpenMP
+    kernel (fasp_rap, the fasp_blas_dcsr_rap/BlaSpmvCSR.c:999 analog).
+
+    The fused kernel scales with cores; below 4 cores scipy's
+    single-threaded two-product SpGEMM is faster (measured 0.2 s vs
+    0.49 s at 1M dof on a 2-core host), so dispatch by core count — the
+    same machine-dependent gating the reference applies to its OpenMP
+    paths (OPENMP_HOLDS, fasp_const.h:269).  Results are bit-identical.
+    """
+    import os
+
+    from ... import native
+    if (os.cpu_count() or 1) >= 4:
+        out = native.rap(R, A, P)
+        if out is not None:
+            return out
+    return CSRMatrix.from_scipy(
+        (R.to_scipy() @ A.to_scipy() @ P.to_scipy()).tocsr())
+
+
 def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
-             dtype=None) -> AMGHierarchy:
+             dtype=None, keep_f64_fine: bool = False,
+             pack: bool = False):
+    """``pack=True`` freezes the hierarchy as packed flat buffers
+    (ops/packing.py) with host-side construction (defer_device) — one
+    program-free transfer instead of per-leaf uploads; ``keep_f64_fine``
+    attaches a compressed f64 fine operator for device-resident
+    refinement when the fine level is banded."""
+    if pack:
+        from ...ops.operators import defer_device
+        from ...ops.packing import PackedHierarchy, pack_pytree
+        with defer_device():
+            hier = setup_rs(A, param, dtype=dtype,
+                            keep_f64_fine=keep_f64_fine, pack=False)
+        op64_host = hier.fine64
+        if op64_host is not None:
+            import dataclasses as _dc
+            hier = _dc.replace(hier, fine64=None)
+        p32 = pack_pytree(hier, dtype or default_dtype())
+        if p32 is None:
+            raise RuntimeError("setup_rs(pack=True): unpackable leaf")
+        p64 = (pack_pytree(op64_host, np.float64)
+               if op64_host is not None else None)
+        return PackedHierarchy(p32=p32, p64=p64)
+
     param = param or AMGParam()
     dtype = dtype or default_dtype()
 
@@ -57,8 +102,7 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         P = interpolate(cur, marker, S,
                         interp_type=param.interpolation_type,
                         trunc_threshold=param.truncation_threshold)
-        Ac = CSRMatrix.from_scipy(
-            (P.to_scipy().T @ cur.to_scipy() @ P.to_scipy()).tocsr())
+        Ac = _rap(P, cur, P.transpose())
         # density guard: stop if the coarse operator is getting too dense
         if Ac.nnz > 0.8 * Ac.nrow * Ac.nrow and Ac.nrow > 64:
             break
@@ -109,7 +153,10 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
             sm = build_smoother(Al, param.smoother, relax=param.relaxation,
                                 poly_degree=param.polynomial_degree,
                                 cf_marker=cf, dtype=dtype)
-        levels.append(AMGLevel(A=EllOperator.from_csr(Al, dtype=dtype),
+        # adaptive per-level format: DIA / DIA+COO hybrid for (mostly-)
+        # banded levels, ELL otherwise — the general RS algorithm with the
+        # storage each level's sparsity shape wants
+        levels.append(AMGLevel(A=best_operator(Al, dtype=dtype),
                                P=Pop, R=Rop, smoother=sm))
 
     coarse = make_coarse_solver(host_levels[-1], dtype)
@@ -119,6 +166,31 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         from .cycles import amli_coefs
         amli_c = amli_coefs(2.0, 0.5, param.amli_degree)
 
+    # compressed f64 fine operator for device-resident refinement, when
+    # the fine level is a detectable grid stencil (structured.py analog)
+    fine64 = None
+    if keep_f64_fine:
+        import jax as _jax
+        if _jax.config.jax_enable_x64:
+            from ...ops.operators import dia_bands_from_csr
+            from .band_algebra import BandMatrix
+            from .structured import detect_dims
+            offs, flat = dia_bands_from_csr(A)
+            if len(offs) <= 36:
+                dims = detect_dims(offs, A.nrow)
+                if dims is not None:
+                    B64 = BandMatrix.from_flat(offs, flat, tuple(dims))
+                    if B64 is not None:
+                        cand = B64.to_stencil_operator(np.float64)
+                        if cand.device_bytes <= (1 << 20):
+                            from ...ops.operators import _DEFER_DEVICE
+                            if _DEFER_DEVICE.get():
+                                fine64 = cand      # packed by the caller
+                            else:
+                                import jax.numpy as jnp
+                                fine64 = _jax.tree_util.tree_map(
+                                    jnp.asarray, cand)
+
     return AMGHierarchy(
         levels=tuple(levels), coarse=coarse,
         presmooth_iter=param.presmooth_iter,
@@ -126,7 +198,8 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         cycle_type=param.cycle_type,
         coarse_scaling=bool(param.coarse_scaling),
         amli_degree=param.amli_degree,
-        amli_coefs=amli_c)
+        amli_coefs=amli_c,
+        fine64=fine64)
 
 
 def setup_cr(A: CSRMatrix, param: Optional[AMGParam] = None,

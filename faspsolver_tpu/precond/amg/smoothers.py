@@ -28,7 +28,7 @@ import numpy as np
 
 from ...constants import SmootherType
 from ...formats import CSRMatrix
-from ...ops.operators import default_dtype
+from ...ops.operators import asdev, default_dtype
 
 
 @jax.tree_util.register_dataclass
@@ -107,7 +107,7 @@ def build_smoother(A: CSRMatrix, kind: int, *, relax: float = 1.0,
     dtype = dtype or default_dtype()
     d = A.diagonal()
     dsafe = np.where(d != 0.0, d, 1.0)
-    dinv = jnp.asarray(1.0 / dsafe, dtype=dtype)
+    dinv = asdev(1.0 / dsafe, dtype=dtype)
 
     kind = int(kind)
     if kind in (SmootherType.JACOBI, SmootherType.JACOBIF):
@@ -119,7 +119,7 @@ def build_smoother(A: CSRMatrix, kind: int, *, relax: float = 1.0,
         l1 = np.asarray(np.abs(m).sum(axis=1)).ravel()
         l1 = np.where(l1 != 0.0, l1, 1.0)
         return SmootherData(kind=kind, relax=float(relax), nsweep_scale=1,
-                            l1inv=jnp.asarray(1.0 / l1, dtype=dtype))
+                            l1inv=asdev(1.0 / l1, dtype=dtype))
 
     if kind in (SmootherType.GS, SmootherType.SGS, SmootherType.SOR,
                 SmootherType.SSOR, SmootherType.GSOR, SmootherType.SGSOR,
@@ -146,32 +146,39 @@ def build_smoother(A: CSRMatrix, kind: int, *, relax: float = 1.0,
         for rows in blocks:
             cols, vals = _ell_rows(A, rows, dtype)
             cblocks.append(ColorBlock(
-                rows=jnp.asarray(rows.astype(np.int32)),
-                cols=jnp.asarray(cols), vals=jnp.asarray(vals),
-                dinv=jnp.asarray(1.0 / dsafe[rows], dtype=dtype)))
+                rows=asdev(rows.astype(np.int32)),
+                cols=asdev(cols), vals=asdev(vals),
+                dinv=asdev(1.0 / dsafe[rows], dtype=dtype)))
         return SmootherData(kind=kind, relax=float(relax), nsweep_scale=1,
                             dinv=dinv, colors=tuple(cblocks))
 
     if kind in (SmootherType.POLY, SmootherType.CHEBYSHEV):
         # Chebyshev smoothing on [lambda_max/alpha, lambda_max]; lambda_max
         # by a short power iteration (reference: fasp_dcsr_maxeig,
-        # BlaEigen.c) on the Jacobi-scaled operator
+        # BlaEigen.c) on the Jacobi-scaled operator.  Above 200k dof the
+        # Gershgorin bound replaces it (one vectorized pass; always an
+        # upper bound, so Chebyshev stays a damper — the structured path
+        # documents the same substitution)
         m = A.to_scipy()
-        rng = np.random.default_rng(0)
-        v = rng.standard_normal(A.nrow)
         dinv_np = 1.0 / dsafe
-        lam = 1.0
-        for _ in range(30):
-            w = dinv_np * (m @ v)
-            lam = max(np.linalg.norm(w), 1e-30)
-            v = w / lam
-        # inflate: an underestimated lambda_max makes Chebyshev amplify the
-        # top of the spectrum instead of damping it
-        lam = max(lam, 1e-8) * 1.1
+        if A.nrow > 200_000:
+            l1 = np.asarray(np.abs(m).sum(axis=1)).ravel()
+            lam = float(np.max(np.abs(dinv_np) * l1))
+        else:
+            rng = np.random.default_rng(0)
+            v = rng.standard_normal(A.nrow)
+            lam = 1.0
+            for _ in range(30):
+                w = dinv_np * (m @ v)
+                lam = max(np.linalg.norm(w), 1e-30)
+                v = w / lam
+            # inflate: an underestimated lambda_max makes Chebyshev
+            # amplify the top of the spectrum instead of damping it
+            lam = max(lam, 1e-8) * 1.1
         return SmootherData(kind=int(SmootherType.CHEBYSHEV),
                             relax=float(relax), nsweep_scale=poly_degree,
                             dinv=dinv,
-                            lambda_max=jnp.asarray(lam, dtype=dtype))
+                            lambda_max=asdev(lam, dtype=dtype))
 
     raise ValueError(f"unsupported smoother kind {kind}")
 

@@ -222,18 +222,20 @@ def make_resident_refiner_packed(packed, *, tol: float = 1e-6,
     mr_, mi_ = int(max_rounds), int(maxit_inner)
 
     @jax.jit
-    def runp(b32buf, b64buf, b64):
-        hier = packed.unpack(b32buf, b64buf)
+    def runp(bufs32, bufs64, b64):
+        hier = packed.unpack(bufs32, bufs64)
         M = AMGPrecond(hier, maxit=M_maxit)
         return _refine_body(hier.fine64, hier.levels[0].A, M, b64,
                             tol_, it_, if_, mr_, mi_)
 
+    b32, b64s = packed.p32.bufs, packed.p64.bufs
+
     def run(b64):
-        return runp(packed.p32.buf, packed.p64.buf, b64)
+        return runp(b32, b64s, b64)
 
     def _compile(b_spec):
-        ex = runp.lower(packed.p32.buf, packed.p64.buf, b_spec).compile()
-        return lambda b64: ex(packed.p32.buf, packed.p64.buf, b64)
+        ex = runp.lower(b32, b64s, b_spec).compile()
+        return lambda b64: ex(b32, b64s, b64)
 
     run.compile = _compile
     return run
