@@ -206,6 +206,70 @@ def main() -> None:
     stream_gbs = 2 * n * bytes_per / (stream_us / 1e6) / 1e9
     nnz_per_s = A.nnz / (spmv_us / 1e6)
 
+    # ---- General path: the reference's ACTUAL stored-baseline problem —
+    # 1,046,529-dof P1-FE Poisson (7.3M nnz) through classical RS-AMG
+    # (coarsen -> interpolate -> native fused RAP) + CG refinement.
+    # This is the same-algorithm comparison the round-2 verdict asked for:
+    # the reference does it in 1.40 s setup + 1.56 s solve (-O2, 4 threads,
+    # test/out/poisson-O2-th4.out).  The structured headline above is the
+    # framework's fast mode; this measures the general unstructured
+    # machinery on the same problem.
+    general = {}
+    try:
+        from faspsolver_tpu.testgen import assemble_poisson, \
+            unit_square_mesh
+        from faspsolver_tpu.precond.amg.setup_rs import setup_rs
+
+        t0 = time.perf_counter()
+        mesh = unit_square_mesh(NX + 1)
+        Afe, bfe, _ = assemble_poisson(mesh, lambda p: np.ones(len(p)))
+        fe_gen_s = time.perf_counter() - t0
+
+        rs_param = AMGParam(smoother=int(SmootherType.CHEBYSHEV),
+                            polynomial_degree=3, presmooth_iter=2,
+                            postsmooth_iter=2, coarse_dof=800)
+        t0 = time.perf_counter()
+        hfe = setup_rs(Afe, rs_param, dtype=dtype, keep_f64_fine=True,
+                       pack=True)
+        for _b in hfe.p32.bufs + (hfe.p64.bufs if hfe.p64 else ()):
+            np.asarray(_b)
+        g_setup_s = time.perf_counter() - t0
+
+        g_runner = make_resident_refiner_packed(
+            hfe, tol=TOL, inner_tol=1e-4, inner_floor=1e-4,
+            max_rounds=6, maxit_inner=40)
+        g_compiled = g_runner.compile(
+            jax.ShapeDtypeStruct((Afe.nrow,), jnp.float64))
+        _gx, *_ = g_compiled(jnp.ones(Afe.nrow, jnp.float64))
+        np.asarray(_gx)
+        del _gx
+
+        t0 = time.perf_counter()
+        gb = jnp.asarray(bfe)
+        gx, g_rr, g_rnd, g_it = g_compiled(gb)
+        gxh = np.asarray(gx)
+        g_solve_s = time.perf_counter() - t0
+        g_verified = float(np.linalg.norm(bfe - Afe.matvec(gxh))
+                           / np.linalg.norm(bfe))
+        general = {
+            "general_setup_s": round(g_setup_s, 4),
+            "general_solve_s": round(g_solve_s, 4),
+            "general_total_s": round(g_setup_s + g_solve_s, 4),
+            "general_vs_baseline": round(
+                REF_TOTAL_S / (g_setup_s + g_solve_s), 3),
+            "general_rounds": int(g_rnd),
+            "general_inner_iters": int(g_it),
+            "general_relres_verified": g_verified,
+            "general_converged": bool(g_verified < TOL),
+            "general_nnz": Afe.nnz,
+            "general_packed_mb": round(
+                (hfe.p32.nbytes
+                 + (hfe.p64.nbytes if hfe.p64 else 0)) / 1e6, 1),
+            "general_gen_s": round(fe_gen_s, 2),
+        }
+    except Exception as e:  # noqa: BLE001 — detail metric, never fatal
+        general = {"general_error": str(e)[:160]}
+
     # ---- SPE01 (BSR nb=3, shipped reservoir Jacobian): AMG-preconditioned
     # Krylov time-to-1e-6 on the TPU (BASELINE.json north-star config #4).
     # Mixed precision: f32 UA-AMG-vFGMRES inside f64 host refinement (the
@@ -280,6 +344,7 @@ def main() -> None:
             "platform": platform,
             "dtype": "float32",
             "gen_s": round(gen_s, 3),
+            **general,
             **spe01,
         },
     }))

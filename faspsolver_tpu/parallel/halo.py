@@ -183,3 +183,134 @@ def comm_pattern(op: HaloDiaOperator) -> str:
     x = jnp.zeros(op.n, dtype=op.dtype)
     x = jax.device_put(x, NamedSharding(op.mesh, P(op.axis)))
     return jax.jit(op.__call__).lower(x).compile().as_text()
+
+
+def _flat_level_bands(op) -> Optional[Tuple[np.ndarray, Tuple[int, ...]]]:
+    """Host (k, n) row-aligned flat bands + offsets for any banded level
+    operator (Dia / DiaNd / compressed StencilNd).  Grid-shaped bands are
+    re-zeroed at off-grid positions so the FLAT reinterpretation cannot
+    wrap reads across grid rows (compressed stencil bands broadcast their
+    interior constant into those positions; the Nd operator's padding
+    kills them, a flat operator must store zeros)."""
+    from ..ops.operators import (DiaNdOperator, DiaOperator, FactoredBand,
+                                 StencilNdOperator)
+
+    if isinstance(op, DiaOperator):
+        return np.asarray(op.bands), op.offsets
+    if isinstance(op, DiaNdOperator):
+        return (np.asarray(op.bands).reshape(len(op.coords), -1),
+                op.offsets)
+    if isinstance(op, StencilNdOperator):
+        dims = op.dims
+        d0 = dims[0]
+        rest = op.n // d0
+        rows = []
+        for co, b in zip(op.coords, op.bands):
+            if isinstance(b, FactoredBand):
+                m = np.asarray(b.row_sel) @ (np.asarray(b.core)
+                                             @ np.asarray(b.col_sel))
+                g = np.ascontiguousarray(
+                    np.broadcast_to(m, (d0, rest))).reshape(dims).copy()
+            else:
+                g = np.asarray(b).reshape(dims).copy()
+            for ax, (c, d) in enumerate(zip(co, dims)):
+                if c == 0:
+                    continue
+                idx = [slice(None)] * len(dims)
+                idx[ax] = slice(d - c, d) if c > 0 else slice(0, -c)
+                g[tuple(idx)] = 0.0
+            rows.append(g.reshape(-1))
+        return np.stack(rows), op.offsets
+    return None
+
+
+def halo_from_bands(offsets, bands: np.ndarray, mesh: Mesh, dtype=None,
+                    axis: str = "rows") -> Optional[HaloDiaOperator]:
+    """HaloDiaOperator from host flat bands (rows padded to a shard
+    multiple); None if the halo does not fit within one shard."""
+    dtype = dtype or bands.dtype
+    k, n = bands.shape
+    ns = mesh.shape[axis]
+    target = ((n + ns - 1) // ns) * ns
+    if target != n:
+        bands = np.pad(bands, ((0, 0), (0, target - n)))
+    h = max(int(np.max(np.abs(np.asarray(offsets)))), 1)
+    if h > target // ns:
+        return None
+    dev = jax.device_put(jnp.asarray(bands.astype(np.dtype(dtype))),
+                         NamedSharding(mesh, P(None, axis)))
+    return HaloDiaOperator(dev, tuple(int(o) for o in offsets), target,
+                           axis=axis, mesh=mesh)
+
+
+def halo_shard_hierarchy(hier, mesh: Mesh, axis: str = "rows",
+                         min_size: int = 4096):
+    """PRODUCTION distributed placement of a structured AMG hierarchy:
+    every level large enough gets an explicit halo-exchange
+    :class:`HaloDiaOperator` (shard_map + ppermute, comm plan recorded in
+    its CommMap); transfers/smoother arrays are row-block sharded under
+    GSPMD; coarse levels replicate — the analog of the reference
+    gathering the coarsest grid to one rank (PreMGCycle.c:156-202).
+
+    Returns (hierarchy, comm_maps) with one CommMap per level
+    (``replicated=True`` for replicated levels) — the per-level
+    communication plan SURVEY §7 step 11 calls for.
+    """
+    import dataclasses as _dc
+
+    from .dist_dia import shard_hierarchy
+
+    placed = shard_hierarchy(hier, mesh, axis=axis, min_size=min_size)
+    nsh = mesh.shape[axis]
+    new_levels = []
+    comm_maps = []
+    for lvl, lvl_p in zip(hier.levels, placed.levels):
+        n = lvl.A.shape[0]
+        fb = _flat_level_bands(lvl.A)
+        halo_op = None
+        if fb is not None and n >= min_size and n % nsh == 0:
+            halo_op = halo_from_bands(fb[1], fb[0], mesh,
+                                      dtype=lvl.A.dtype, axis=axis)
+        if halo_op is not None:
+            new_levels.append(_dc.replace(lvl_p, A=halo_op))
+            comm_maps.append(halo_op.comm_map)
+        else:
+            new_levels.append(lvl_p)
+            comm_maps.append(CommMap(n_shards=nsh, n_local=n, halo=0,
+                                     replicated=True))
+    out = _dc.replace(placed, levels=tuple(new_levels))
+    return out, tuple(comm_maps)
+
+
+def cycle_comm_pattern(hier, mesh: Mesh, axis: str = "rows") -> str:
+    """Lowered HLO of ONE FULL jitted multigrid cycle on the sharded
+    hierarchy — lets tests assert the whole cycle's communication
+    (collective-permute halo exchanges; no fine-level all-gather), not
+    just a single SpMV's."""
+    from ..precond.amg.cycles import mgcycle
+
+    n = hier.levels[0].A.shape[0]
+    r = jax.device_put(jnp.zeros(n, dtype=hier.levels[0].A.dtype),
+                       NamedSharding(mesh, P(axis)))
+    return jax.jit(lambda v: mgcycle(hier, v)).lower(r).compile().as_text()
+
+
+def assert_neighbor_comm_only(hlo: str, fine_n: int) -> None:
+    """Raise unless the HLO communicates by collective-permute and any
+    all-gather is a coarse-level (small) one — the contract for the
+    production distributed cycle."""
+    import re
+
+    if "collective-permute" not in hlo:
+        raise AssertionError("no collective-permute in cycle HLO")
+    for m in re.finditer(r"all-gather[^=]*\(", hlo):
+        line_start = hlo.rfind("\n", 0, m.start()) + 1
+        line = hlo[line_start:hlo.find("\n", m.start())]
+        shapes = re.findall(r"f\d+\[([\d,]*)\]", line)
+        for s in shapes:
+            elems = 1
+            for d in filter(None, s.split(",")):
+                elems *= int(d)
+            if elems >= fine_n // 2:
+                raise AssertionError(
+                    f"fine-level-sized all-gather in cycle HLO: {line}")
