@@ -93,9 +93,11 @@ def _solver_factory(kind: str):
     return lambda A, b: krylov(A, b, its=cg_its)
 
 
-def generated_problems(sizes_2d=(255, 511), sizes_3d=(31, 47)):
+def generated_problems(sizes_2d=(255, 511, 1023), sizes_3d=(31, 47, 101)):
     """FDM Poisson systems with manufactured b (analog of the reference's
-    generated test systems, test/src/FdmPoisson.c + testfdm2d/3d.cpp)."""
+    generated test systems, test/src/FdmPoisson.c + testfdm3d.cpp); the
+    1023^2 (1.05M dof) and 101^3 (1.03M dof) rows are the >=1M-dof scaling
+    points BASELINE.md directs the harness to cover."""
     from ..testgen import poisson_2d, poisson_3d
     out = []
     for n in sizes_2d:

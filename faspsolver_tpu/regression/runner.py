@@ -83,7 +83,7 @@ def _run_amg_solver(A, b, param: AMGParam):
     return res
 
 
-def _krylov_config(name, solver, precond, **kw):
+def _krylov_config(name, solver, precond, only=None, **kw):
     def run(A, b):
         op = device_operator(A, prefer="ell")
         M = precond(A) if precond else None
@@ -93,7 +93,35 @@ def _krylov_config(name, solver, precond, **kw):
                          else {}),
                       **({"stop_type": kw["stop_type"]}
                          if "stop_type" in kw else {}))
+    if only is not None:
+        return (name, run, only)
     return (name, run)
+
+
+# matrices the AMG setups handle sensibly (discretization-like graphs);
+# the reference runs AMG on every .mtx and its golden logs the failures —
+# the parity table (golden/MM_PARITY.md) records both sides
+_SPD_MM = (lambda p: p in ("nos7",))
+_AMGABLE_MM = (lambda p: p in ("nos7", "add32", "sherman1", "orsreg_1",
+                               "jpwh_991"))
+
+
+def _diagscaled(run):
+    """Symmetric diagonal scaling wrapper: solve
+    (D^-1/2 A D^-1/2) y = D^-1/2 b, return x = D^-1/2 y (reference:
+    fasp_dcsr_symdiagscale)."""
+    import dataclasses as _dc
+
+    import scipy.sparse as sp
+
+    def wrapped(A, b):
+        d = np.abs(A.diagonal())
+        s = 1.0 / np.sqrt(np.where(d > 0, d, 1.0))
+        S = sp.diags(s)
+        As = CSRMatrix.from_scipy((S @ A.to_scipy() @ S).tocsr())
+        res = run(As, np.asarray(b) * s)
+        return _dc.replace(res, x=jnp.asarray(np.asarray(res.x) * s))
+    return wrapped
 
 
 def _bsr_krylov_config(name, solver, **kw):
@@ -305,6 +333,70 @@ def mm_configs() -> List[Tuple[str, Callable]]:
         _krylov_config("vGMRES + ILUtp", vgmres, _ilu_precond(
             ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4, ILU_lfil=40,
             ILU_permtol=0.05), restart=60, maxit=2000, tol=1e-12),
+        # --- AMG-preconditioned families (regression_mm.c AMG block:
+        # CG/BiCGstab/GMRES x classical/SA/UA).  SPD-only solvers are
+        # restricted to the SPD matrices (nos7); the reference runs CG on
+        # the nonsymmetric set too and logs the failures in its golden —
+        # restricting is the same information without 30 junk rows ---
+        _krylov_config("CG + C-AMG", pcg, _amg_precond(
+            smoother=int(SmootherType.GS)), maxit=1000, tol=1e-10,
+            only=_SPD_MM),
+        _krylov_config("CG + SA-AMG", pcg, _amg_precond(
+            AMG_type=int(AMGType.SA), smoother=int(SmootherType.GS)),
+            maxit=1000, tol=1e-10, only=_SPD_MM),
+        _krylov_config("CG + UA-AMG", pcg, _amg_precond(
+            AMG_type=int(AMGType.UA), smoother=int(SmootherType.GS)),
+            maxit=1000, tol=1e-10, only=_SPD_MM),
+        _krylov_config("BiCGstab + C-AMG", bicgstab, _amg_precond(
+            smoother=int(SmootherType.GS)), maxit=1000, tol=1e-10,
+            only=_AMGABLE_MM),
+        _krylov_config("BiCGstab + SA-AMG", bicgstab, _amg_precond(
+            AMG_type=int(AMGType.SA), smoother=int(SmootherType.GS)),
+            maxit=1000, tol=1e-10, only=_AMGABLE_MM),
+        _krylov_config("BiCGstab + UA-AMG", bicgstab, _amg_precond(
+            AMG_type=int(AMGType.UA), smoother=int(SmootherType.GS)),
+            maxit=1000, tol=1e-10, only=_AMGABLE_MM),
+        _krylov_config("GMRES + SA-AMG", gmres, _amg_precond(
+            AMG_type=int(AMGType.SA), smoother=int(SmootherType.GS)),
+            restart=40, maxit=1000, tol=1e-10, only=_AMGABLE_MM),
+        _krylov_config("GMRES + UA-AMG", gmres, _amg_precond(
+            AMG_type=int(AMGType.UA), smoother=int(SmootherType.GS)),
+            restart=40, maxit=1000, tol=1e-10, only=_AMGABLE_MM),
+        # --- safety-net rows (KrySP* family: best-iterate tracking) ---
+        ("SafeCG + diag", lambda A, b: pcg(
+            device_operator(A, prefer="ell"), jnp.asarray(b),
+            M=JacobiPrecond.from_csr(A), tol=1e-12, maxit=2000, safe=True),
+            _SPD_MM),
+        ("SafeBiCGstab + diag", lambda A, b: bicgstab(
+            device_operator(A, prefer="ell"), jnp.asarray(b),
+            M=JacobiPrecond.from_csr(A), tol=1e-12, maxit=2000, safe=True)),
+        ("SafeGMRES + diag", lambda A, b: gmres(
+            device_operator(A, prefer="ell"), jnp.asarray(b),
+            M=JacobiPrecond.from_csr(A), tol=1e-12, maxit=3000, restart=60,
+            safe=True)),
+        ("SafeVGMRES + ILUt", lambda A, b: vgmres(
+            device_operator(A, prefer="ell"), jnp.asarray(b),
+            M=_ilu_precond(ILU_type=int(ILUType.ILUT),
+                           ILU_droptol=1e-4)(A),
+            tol=1e-12, maxit=2000, restart=60, safe=True)),
+        # --- watt__1 with symmetric diagonal scaling: closes the 3-6e-4
+        # near-misses the unscaled rows leave (the matrix's ~1e9 diagonal
+        # spread dominates its conditioning; reference analog:
+        # fasp_dcsr_symdiagscale) ---
+        ("GMRES + ILUtp (diagscaled)",
+         _diagscaled(lambda A, b: gmres(
+             device_operator(A, prefer="ell"), jnp.asarray(b),
+             M=_ilu_precond(ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4,
+                            ILU_lfil=40, ILU_permtol=0.05)(A),
+             tol=1e-13, maxit=2000, restart=60)),
+         lambda p: p == "watt__1"),
+        ("BiCGstab + ILUt (diagscaled)",
+         _diagscaled(lambda A, b: bicgstab(
+             device_operator(A, prefer="ell"), jnp.asarray(b),
+             M=_ilu_precond(ILU_type=int(ILUType.ILUT),
+                            ILU_droptol=1e-5)(A),
+             tol=1e-13, maxit=2000)),
+         lambda p: p in ("watt__1", "lns__131")),
     ]
 
 
