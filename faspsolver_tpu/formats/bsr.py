@@ -105,7 +105,9 @@ class BSRMatrix:
         graph (PreAMGAggregationBSR.inl:114: ``if (i != j) Aval = -Aval``).
         """
         if norm_type >= 0:
-            vals = np.abs(self.data).max(axis=(1, 2))
+            # L-inf matrix norm = max absolute ROW SUM of the block
+            # (fasp_smat_Linf, BlaSmallMatInv.c:646)
+            vals = np.abs(self.data).sum(axis=2).max(axis=1)
         else:
             vals = np.linalg.norm(self.data, axis=(1, 2))
         rows = np.repeat(np.arange(self.shape[0]), np.diff(self.indptr))

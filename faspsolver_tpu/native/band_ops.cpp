@@ -11,6 +11,7 @@
 // A band's value at grid point p multiplies x[p + coord].
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -510,18 +511,23 @@ extern "C" {
 int64_t fasp_dia_offsets(int64_t n, const int64_t* indptr,
                          const int64_t* indices, int64_t max_k,
                          int64_t* offsets_out) {
-    std::vector<uint8_t> present(2 * (size_t)n + 1, 0);
-    uint8_t* pres = present.data();
+    // relaxed atomic flags: concurrent set of the same byte is formally a
+    // data race on plain uint8_t (UB under TSan) even though idempotent —
+    // relaxed stores carry no synchronization cost on x86/ARM
+    std::vector<std::atomic<uint8_t>> present(2 * (size_t)n + 1);
+    for (auto& p : present) p.store(0, std::memory_order_relaxed);
+    std::atomic<uint8_t>* pres = present.data();
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; ++i) {
         for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
             int64_t off = indices[j] - i + n;   // in [0, 2n]
-            if (!pres[off]) pres[off] = 1;       // benign race: idempotent
+            if (!pres[off].load(std::memory_order_relaxed))
+                pres[off].store(1, std::memory_order_relaxed);
         }
     }
     int64_t k = 0;
     for (int64_t o = 0; o <= 2 * n; ++o) {
-        if (pres[o]) {
+        if (pres[o].load(std::memory_order_relaxed)) {
             if (k < max_k) offsets_out[k] = o - n;
             ++k;
         }

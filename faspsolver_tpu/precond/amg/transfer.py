@@ -157,6 +157,188 @@ class CooRestrict:
         return y[: self.n_coarse]
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BandedProlong:
+    """Gather-frugal prolongation: static shifted reads in FINE index space.
+
+    Coarse dof ``j`` is pinned to fine position ``fpos[j]`` (its C-point's
+    fine index, injective).  Embedding the coarse vector there
+    (``xe[fpos] = xc``) turns every entry ``P[i, j]`` into a FINE-space
+    shift ``d = fpos[j] - i``; for grid-born interpolation (classical RS
+    on any detectable grid, incl. the reference's P1-FE meshes) ``d``
+    takes only a handful of values, so the apply is
+
+        ``y[i] = sum_k w[k][i] * xe[i + shift_k]  (+ COO remainder)``
+
+    — statically shifted streaming reads, the same 165x-vs-gather trade
+    the DIA SpMV rides (CLAUDE.md ground truth), with ONE nc-sized
+    scatter to embed instead of an nnz(P)-sized gather + segment_sum.
+    Correct for ANY injective fpos by construction (the shift set is
+    derived from P itself); efficiency is what depends on the geometry.
+
+    Reference: transfer applies are plain SpMVs inside the MG cycle
+    (PreMGCycle.c:135-227, BlaSpmvCSR.c:242); this is their TPU form.
+    """
+
+    fpos: jax.Array      # (n_coarse,) int32 fine position of coarse dof j
+    w: jax.Array         # (k, n_fine) band weights in fine row space
+    rem_rows: jax.Array  # (nnz_rem_pad,) int32 fine ids (pad -> n_fine)
+    rem_cols: jax.Array  # (nnz_rem_pad,) int32 coarse ids (pad -> n_coarse)
+    rem_vals: jax.Array  # (nnz_rem_pad,)
+    shifts: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n_fine: int = dataclasses.field(metadata=dict(static=True))
+    n_coarse: int = dataclasses.field(metadata=dict(static=True))
+    has_rem: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_fine, self.n_coarse)
+
+    @property
+    def dtype(self):
+        return self.w.dtype
+
+    def __call__(self, xc: jax.Array) -> jax.Array:
+        nf = self.n_fine
+        xe = jnp.zeros(nf, dtype=xc.dtype).at[self.fpos].set(
+            xc, unique_indices=True)
+        pad = max(max((abs(s) for s in self.shifts), default=0), 1)
+        xp = jnp.pad(xe, (pad, pad))
+        y = jnp.zeros(nf, dtype=xc.dtype)
+        for k, s in enumerate(self.shifts):
+            y = y + self.w[k] * jax.lax.slice(xp, (pad + s,),
+                                              (pad + s + nf,))
+        if self.has_rem:
+            prod = self.rem_vals * xc[self.rem_cols]
+            y = y + jax.ops.segment_sum(prod, self.rem_rows,
+                                        num_segments=nf + 1)[:nf]
+        return y
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BandedRestrict:
+    """R = P^T off the same banded data (see :class:`BandedProlong`):
+    ``ye = sum_k shift(w[k] * xf, +shift_k)`` then ONE nc-sized extract
+    ``yc = ye[fpos]`` — zero large gathers, zero segment_sums on the
+    banded part."""
+
+    fpos: jax.Array
+    w: jax.Array
+    rem_rows: jax.Array
+    rem_cols: jax.Array
+    rem_vals: jax.Array
+    shifts: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n_fine: int = dataclasses.field(metadata=dict(static=True))
+    n_coarse: int = dataclasses.field(metadata=dict(static=True))
+    has_rem: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_coarse, self.n_fine)
+
+    @property
+    def dtype(self):
+        return self.w.dtype
+
+    def __call__(self, xf: jax.Array) -> jax.Array:
+        nf = self.n_fine
+        pad = max(max((abs(s) for s in self.shifts), default=0), 1)
+        ye = jnp.zeros(nf, dtype=xf.dtype)
+        for k, s in enumerate(self.shifts):
+            t = self.w[k] * xf
+            tp = jnp.pad(t, (pad, pad))
+            ye = ye + jax.lax.slice(tp, (pad - s,), (pad - s + nf,))
+        yc = ye[self.fpos]
+        if self.has_rem:
+            prod = self.rem_vals * xf[self.rem_rows]
+            yc = yc + jax.ops.segment_sum(
+                prod, self.rem_cols,
+                num_segments=self.n_coarse + 1)[: self.n_coarse]
+        return yc
+
+
+def banded_transfer(P: CSRMatrix, fpos: np.ndarray, dtype=None,
+                    max_shifts: int = 40, max_rem_frac: float = 0.2,
+                    max_bytes_ratio: float = 3.0):
+    """Build (BandedProlong, BandedRestrict) from P and the fine positions
+    of its coarse columns, or None when P doesn't band-compress (too many
+    distinct shifts / bands would out-weigh COO) — callers fall back to
+    :func:`csr_transfer`.
+
+    Shift selection: keep the most-populated fine-space shifts (at most
+    ``max_shifts``); leftover entries ride a small COO remainder capped at
+    ``max_rem_frac`` of nnz.  Bands are rejected if they'd cost more than
+    ``max_bytes_ratio`` x the COO bytes (DIA's usual fill trade)."""
+    from ...ops.operators import _round_up, asdev
+    dtype = dtype or default_dtype()
+    nf, nc = P.shape
+    nnz = P.nnz
+    if nnz == 0 or nc == 0:
+        return None
+    fpos = np.asarray(fpos, dtype=np.int64)
+    if fpos.shape[0] != nc:
+        return None
+    rows = np.repeat(np.arange(nf, dtype=np.int64), np.diff(P.indptr))
+    cols = P.indices.astype(np.int64)
+    d = fpos[cols] - rows
+    uniq, inv, counts = np.unique(d, return_inverse=True,
+                                  return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    kept = order[:max_shifts]
+    covered = int(counts[kept].sum())
+    if nnz - covered > max_rem_frac * nnz:
+        return None
+    # demote kept shifts that earn less than their streaming cost (each
+    # band streams a full nf lane) into the remainder, budget permitting
+    kept = list(kept)
+    rem_budget = int(max_rem_frac * nnz) - (nnz - covered)
+    thin = max(nf // 256, 8)
+    for idx in sorted(kept, key=lambda i: counts[i]):   # thinnest first
+        c = int(counts[idx])
+        if len(kept) > 1 and c <= thin and rem_budget >= c:
+            kept.remove(idx)
+            rem_budget -= c
+    kept = np.array(kept, dtype=np.int64)
+    if kept.size == 0:
+        return None
+    itemsize = np.dtype(dtype).itemsize
+    band_bytes = int(kept.size) * nf * itemsize
+    coo_bytes = nnz * (itemsize + 8)
+    if band_bytes > max_bytes_ratio * coo_bytes and nf > 4096:
+        return None
+    # lane assignment (deterministic: shifts sorted by value)
+    kept_sorted = np.sort(uniq[kept])
+    lane_of = {int(s): i for i, s in enumerate(kept_sorted)}
+    lane = np.array([lane_of.get(int(s), -1) for s in uniq],
+                    dtype=np.int64)[inv]
+    sel = lane >= 0
+    w = np.zeros((len(kept_sorted), nf), dtype=np.dtype(dtype))
+    # (row, shift) is unique because fpos is injective
+    w[lane[sel], rows[sel]] = P.data[sel]
+    # COO remainder (shared arrays between P and R, csr_transfer-style)
+    n_rem = int((~sel).sum())
+    has_rem = n_rem > 0
+    pad_n = _round_up(max(n_rem, 1), 128)
+    rr = np.full(pad_n, nf, dtype=np.int32)
+    rc = np.full(pad_n, nc, dtype=np.int32)
+    rv = np.zeros(pad_n, dtype=np.dtype(dtype))
+    if has_rem:
+        rr[:n_rem] = rows[~sel]
+        rc[:n_rem] = cols[~sel]
+        rv[:n_rem] = P.data[~sel]
+    fpos_d = asdev(fpos.astype(np.int32))
+    w_d = asdev(w)
+    rr_d, rc_d, rv_d = asdev(rr), asdev(rc), asdev(rv)
+    shifts = tuple(int(s) for s in kept_sorted)
+    args = (fpos_d, w_d, rr_d, rc_d, rv_d)
+    return (BandedProlong(*args, shifts=shifts, n_fine=nf, n_coarse=nc,
+                          has_rem=has_rem),
+            BandedRestrict(*args, shifts=shifts, n_fine=nf, n_coarse=nc,
+                           has_rem=has_rem))
+
+
 def csr_transfer(P: CSRMatrix, dtype=None, share: bool = True):
     """General sparse prolongation + transpose restriction.
 
