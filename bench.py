@@ -119,9 +119,11 @@ def main() -> None:
                                 keep_f64_fine=True, pack=True)
         assert hier is not None and hasattr(hier, "p32"), \
             "bench problem must take the packed structured path"
-        # program-free transfer sync: fetch the flat buffers back
+        # program-free transfer sync: a device reduction can't run until
+        # the h2d transfer lands, so a scalar readback syncs the upload
+        # without pulling the whole hierarchy back through the tunnel
         for _b in hier.p32.bufs + hier.p64.bufs:
-            np.asarray(_b)
+            float(jnp.sum(_b))
         setup_runs.append(time.perf_counter() - t0)
     setup_s = setup_runs[0]
     assert hier.p64 is not None
@@ -163,8 +165,9 @@ def main() -> None:
     reps = 100
     bdev32 = jnp.asarray(b, dtype=dtype)
 
-    def make_chain(fn):
+    def make_chain(fn, vec=None):
         from functools import partial
+        v0 = bdev32 if vec is None else vec
 
         @partial(jax.jit, static_argnames=("k", "reps"))
         def chain(v, k: int, reps: int):
@@ -179,11 +182,11 @@ def main() -> None:
 
         def timed(k, nrep):
             t0 = time.perf_counter()
-            float(jnp.sum(chain(bdev32, k=k, reps=nrep)))
+            float(jnp.sum(chain(v0, k=k, reps=nrep)))
             return time.perf_counter() - t0
         # warm both shapes
-        float(jnp.sum(chain(bdev32, k=1, reps=2)))
-        float(jnp.sum(chain(bdev32, k=8, reps=2)))
+        float(jnp.sum(chain(v0, k=1, reps=2)))
+        float(jnp.sum(chain(v0, k=8, reps=2)))
         return timed
 
     spmv_us, chain_fixed_us = _marginal_us(make_chain(op), reps=reps)
@@ -205,6 +208,43 @@ def main() -> None:
     spmv_gbs = spmv_traffic / (spmv_us / 1e6) / 1e9
     stream_gbs = 2 * n * bytes_per / (stream_us / 1e6) / 1e9
     nnz_per_s = A.nnz / (spmv_us / 1e6)
+
+    # ---- HBM-bound ceiling (round-3 weak #3): the 1M-dof probes above
+    # have 4 MB working sets that fit (partly) in VMEM, so stream_gbs is
+    # an ON-CHIP mixture that can exceed the HBM spec.  Here the same
+    # chain methodology runs at 8192^2 = 67M dof (268 MB/vector, >> the
+    # ~128 MB v5e VMEM) so every element round-trips HBM: stream_hbm_gbs
+    # must sit at-or-under the chip spec (~819 GB/s peak on v5e) and
+    # spmv_vs_hbm_sol is the honest fraction-of-speed-of-light at scale.
+    hbm = {}
+    try:
+        NH = 8192
+        nh = NH * NH
+        vbig = jnp.asarray(np.zeros(nh, dtype=np.float32)) + 1.0
+        float(jnp.sum(vbig))
+        one_hbm = StencilNdOperator(
+            (jnp.asarray(np.full((1, 1), 0.9995, dtype=np.float32)),),
+            ((0, 1),), (NH, NH))
+        coefs5 = (-0.2499, -0.2499, 0.99999, -0.2499, -0.2499)
+        coords5 = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
+        five_hbm = StencilNdOperator(
+            tuple(jnp.asarray(np.full((1, 1), c, dtype=np.float32))
+                  for c in coefs5), coords5, (NH, NH))
+        stream_hbm_us, _ = _marginal_us(make_chain(one_hbm, vbig),
+                                        reps=10, tries=3)
+        spmv_hbm_us, _ = _marginal_us(make_chain(five_hbm, vbig),
+                                      reps=10, tries=3)
+        del vbig
+        stream_hbm_gbs = 2 * nh * bytes_per / (stream_hbm_us / 1e6) / 1e9
+        spmv_hbm_gbs = 2 * nh * bytes_per / (spmv_hbm_us / 1e6) / 1e9
+        hbm = {
+            "stream_hbm_gbs": round(stream_hbm_gbs, 2),
+            "spmv_hbm_gbs": round(spmv_hbm_gbs, 2),
+            "spmv_vs_hbm_sol": round(spmv_hbm_gbs / stream_hbm_gbs, 3),
+            "hbm_probe_dof": nh,
+        }
+    except Exception as e:  # noqa: BLE001 — detail metric, never fatal
+        hbm = {"hbm_probe_error": str(e)[:120]}
 
     # ---- General path: the reference's ACTUAL stored-baseline problem —
     # 1,046,529-dof P1-FE Poisson (7.3M nnz) through classical RS-AMG
@@ -228,11 +268,14 @@ def main() -> None:
         rs_param = AMGParam(smoother=int(SmootherType.CHEBYSHEV),
                             polynomial_degree=3, presmooth_iter=2,
                             postsmooth_iter=2, coarse_dof=800)
+        g_tim = {}             # per-phase setup attribution (VERDICT r3 #2)
         t0 = time.perf_counter()
         hfe = setup_rs(Afe, rs_param, dtype=dtype, keep_f64_fine=True,
-                       pack=True)
+                       pack=True, timings=g_tim)
+        t_up = time.perf_counter()
         for _b in hfe.p32.bufs + (hfe.p64.bufs if hfe.p64 else ()):
-            np.asarray(_b)
+            float(jnp.sum(_b))          # upload sync, scalar readback
+        g_tim["upload_s"] = time.perf_counter() - t_up
         g_setup_s = time.perf_counter() - t0
 
         g_runner = make_resident_refiner_packed(
@@ -266,9 +309,55 @@ def main() -> None:
                 (hfe.p32.nbytes
                  + (hfe.p64.nbytes if hfe.p64 else 0)) / 1e6, 1),
             "general_gen_s": round(fe_gen_s, 2),
+            # per-phase setup attribution (host graph algorithms vs the
+            # device freeze) — makes the host-core/tunnel attribution a
+            # measurement instead of a claim
+            **{f"general_{k}": (round(v, 3) if isinstance(v, float)
+                                else v) for k, v in g_tim.items()},
         }
+
+        # ---- Apples-to-apples headline: the reference's OWN 1M P1-FE
+        # matrix through AUTOMATIC dispatch.  The FE matrix is
+        # grid-detectable (7 bands), so the structured fast path engages
+        # exactly as it would for any user calling the driver — this is
+        # the same problem as test/out/poisson-O2-th4.out, not the
+        # generated FD stand-in.  Cold setup + solve, headline protocol.
+        from faspsolver_tpu.precond.amg import setup_structured
+        t0 = time.perf_counter()
+        hauto = setup_structured(Afe, param, dtype=dtype, smooth_p=True,
+                                 keep_f64_fine=True, pack=True)
+        assert hauto is not None and hauto.p64 is not None, \
+            "P1-FE matrix must take the automatic structured path"
+        for _b in hauto.p32.bufs + hauto.p64.bufs:
+            float(jnp.sum(_b))          # upload sync, scalar readback
+        a_setup_s = time.perf_counter() - t0
+        a_runner = make_resident_refiner_packed(hauto, tol=TOL,
+                                                max_rounds=4,
+                                                maxit_inner=40)
+        a_compiled = a_runner.compile(
+            jax.ShapeDtypeStruct((Afe.nrow,), jnp.float64))
+        _ax, *_ = a_compiled(jnp.ones(Afe.nrow, jnp.float64))
+        np.asarray(_ax)
+        del _ax
+        t0 = time.perf_counter()
+        ab = jnp.asarray(bfe)
+        ax, a_rr, a_rnd, a_it = a_compiled(ab)
+        axh = np.asarray(ax)
+        a_solve_s = time.perf_counter() - t0
+        a_verified = float(np.linalg.norm(bfe - Afe.matvec(axh))
+                           / np.linalg.norm(bfe))
+        general.update({
+            "fe_auto_setup_s": round(a_setup_s, 4),
+            "fe_auto_solve_s": round(a_solve_s, 4),
+            "fe_auto_total_s": round(a_setup_s + a_solve_s, 4),
+            "fe_auto_vs_baseline": round(
+                REF_TOTAL_S / (a_setup_s + a_solve_s), 3),
+            "fe_auto_inner_iters": int(a_it),
+            "fe_auto_relres_verified": a_verified,
+            "fe_auto_converged": bool(a_verified < TOL),
+        })
     except Exception as e:  # noqa: BLE001 — detail metric, never fatal
-        general = {"general_error": str(e)[:160]}
+        general = {**general, "general_error": str(e)[:160]}
 
     # ---- SPE01 (BSR nb=3, shipped reservoir Jacobian): AMG-preconditioned
     # Krylov time-to-1e-6 on the TPU (BASELINE.json north-star config #4).
@@ -336,9 +425,12 @@ def main() -> None:
             "stream_us": round(stream_us, 1),
             "chain_fixed_overhead_us": round(chain_fixed_us, 1),
             "spmv_gbs": round(spmv_gbs, 2),
-            "stream_gbs": round(stream_gbs, 2),
+            # 1M-dof probes: 4 MB working set = ON-CHIP (VMEM-mixed)
+            # ceiling; the HBM-bound ceiling is stream_hbm_gbs below
+            "stream_onchip_gbs": round(stream_gbs, 2),
             "spmv_vs_stream": round(stream_us / spmv_us, 3)
             if spmv_us > 0 else None,
+            **hbm,
             "spmv_nnz_per_s": round(nnz_per_s / 1e9, 3),
             "n": A.nrow, "nnz": A.nnz,
             "platform": platform,

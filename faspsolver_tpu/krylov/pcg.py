@@ -32,23 +32,32 @@ from .result import SolveResult
 
 def pcg(A, b, x0=None, M=None, *, tol: float = 1e-6, abstol: float = 1e-18,
         maxit: int = 500, stop_type: int = int(StopType.REL_RES),
-        safe: bool = False) -> SolveResult:
+        safe: bool = False, max_stag: int = MAX_STAG,
+        max_restart: int = MAX_RESTART) -> SolveResult:
     """Solve A x = b with preconditioned CG.
 
-    A and M are pytree operators (callables); tol/abstol/maxit are traced so
-    one compilation serves any tolerance; stop_type/safe are static.
+    A and M are pytree operators (callables); tol/abstol/maxit/max_stag/
+    max_restart are traced so one compilation serves any tolerance;
+    stop_type/safe are static.  ``max_stag``/``max_restart`` default to the
+    reference's safeguard budgets (KryPcg.c MAX_STAG/MAX_RESTART); inner
+    solves under mixed-precision refinement pass small values so a solve
+    pinned at the f32 residual floor exits after a couple of restarts
+    instead of burning ~20 dead iterations (the outer f64 loop supplies
+    the robustness there).
     """
     M = resolve_precond(M)
     if x0 is None:
         x0 = jnp.zeros(A.shape[0], dtype=b.dtype)
     return _pcg(A, M, jnp.asarray(b), jnp.asarray(x0),
                 jnp.asarray(tol, b.dtype), jnp.asarray(abstol, b.dtype),
-                jnp.asarray(maxit, jnp.int32), stop_type, safe)
+                jnp.asarray(maxit, jnp.int32),
+                jnp.asarray(max_stag, jnp.int32),
+                jnp.asarray(max_restart, jnp.int32), stop_type, safe)
 
 
 @partial(jax.jit, static_argnames=("stop_type", "safe"))
-def _pcg(A, M, b, x0, tol, abstol, maxit, stop_type: int, safe: bool
-         ) -> SolveResult:
+def _pcg(A, M, b, x0, tol, abstol, maxit, max_stag, max_restart,
+         stop_type: int, safe: bool) -> SolveResult:
     maxdiff = tol * STAG_RATIO
 
     r0 = b - A(x0)
@@ -100,7 +109,7 @@ def _pcg(A, M, b, x0, tol, abstol, maxit, stop_type: int, safe: bool
 
         normu = jnp.maximum(SMALLREAL, jnp.sqrt(jnp.dot(x, x)))
         reldiff = jnp.abs(alpha) * jnp.sqrt(jnp.dot(p, p)) / normu
-        stagnated = ((factor > 0.9) & (~zero_sol) & (s["stag"] <= MAX_STAG)
+        stagnated = ((factor > 0.9) & (~zero_sol) & (s["stag"] <= max_stag)
                      & (reldiff < maxdiff))
         # Check III fires on claimed convergence; mutually exclusive with the
         # stagnation recompute per iteration (if Check II recomputed and
@@ -125,8 +134,8 @@ def _pcg(A, M, b, x0, tol, abstol, maxit, stop_type: int, safe: bool
             need, do_recompute, no_recompute, (x, r, z))
 
         conv = need & (relres < tol)
-        stag_fail = stagnated & (~conv) & (s["stag"] >= MAX_STAG)
-        tol_fail = claim & (~conv) & (s["more"] >= MAX_RESTART)
+        stag_fail = stagnated & (~conv) & (s["stag"] >= max_stag)
+        tol_fail = claim & (~conv) & (s["more"] >= max_restart)
         restart = need & (~conv) & (~stag_fail) & (~tol_fail)
         p = jnp.where(restart, jnp.zeros_like(p), p)
         stag = s["stag"] + jnp.where(stagnated & restart, 1, 0)

@@ -201,8 +201,12 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         from .cycles import amli_coefs
         amli_c = amli_coefs(2.0, 0.5, param.amli_degree)
 
-    # compressed f64 fine operator for device-resident refinement, when
-    # the fine level is a detectable grid stencil (structured.py analog)
+    # f64 fine operator for device-resident refinement: compressed
+    # stencil when the fine level is a detectable grid (structured.py
+    # analog), banded/adaptive otherwise — a genuinely unstructured
+    # matrix still gets a resident f64 operator (ELL-class, memory-
+    # costed) instead of forcing the host-loop refiner (the reference is
+    # REAL=double throughout, fasp.h:75; r3 verdict item 8)
     fine64 = None
     if keep_f64_fine:
         import jax as _jax
@@ -221,20 +225,33 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
             offs = flat = None
             if n_offs <= 36:
                 offs, flat = dia_bands_from_csr(A)
+            cand = None
             if offs is not None and len(offs) <= 36:
                 dims = detect_dims(offs, A.nrow)
                 if dims is not None:
                     B64 = BandMatrix.from_flat(offs, flat, tuple(dims))
                     if B64 is not None:
-                        cand = B64.to_stencil_operator(np.float64)
-                        if cand.device_bytes <= (1 << 20):
-                            from ...ops.operators import _DEFER_DEVICE
-                            if _DEFER_DEVICE.get():
-                                fine64 = cand      # packed by the caller
-                            else:
-                                import jax.numpy as jnp
-                                fine64 = _jax.tree_util.tree_map(
-                                    jnp.asarray, cand)
+                        c = B64.to_stencil_operator(np.float64)
+                        if c.device_bytes <= (1 << 20):
+                            cand = c
+            if cand is None:
+                # general fallback: adaptive-format f64 operator
+                # (DIA/hybrid/ELL by sparsity shape).  Memory cost is
+                # ~nnz x 12 B (f64 value + int32 index); warn above
+                # 256 MB so a user shipping a huge Jacobian sees the
+                # trade explicitly rather than an OOM
+                est = A.nnz * 12
+                if est > (256 << 20):
+                    from ...utils.messages import warn
+                    warn(f"keep_f64_fine: unstructured fine level costs "
+                         f"~{est / 1e6:.0f} MB of f64 device storage")
+                cand = best_operator(A, dtype=np.float64)
+            from ...ops.operators import _DEFER_DEVICE
+            if _DEFER_DEVICE.get():
+                fine64 = cand      # packed by the caller
+            else:
+                import jax.numpy as jnp
+                fine64 = _jax.tree_util.tree_map(jnp.asarray, cand)
 
     return AMGHierarchy(
         levels=tuple(levels), coarse=coarse,

@@ -175,8 +175,14 @@ def _refine_body(op64, op32, M, b64, tol_, inner_tol, inner_floor,
         need = jnp.clip(0.3 * tol_ / jnp.maximum(s["relres"], 1e-300),
                         inner_floor, inner_tol)
         r32 = (r / scale).astype(op32.dtype)
+        # tight safeguard budgets: when the inner f32 solve hits its
+        # residual floor (catastrophic cancellation in b - Ax for systems
+        # whose solution amplitude >> rhs amplitude, e.g. FE loads ~h^2),
+        # Check II/III restarts would otherwise burn ~20 dead iterations
+        # per round before bailing — the outer f64 loop IS the recovery
+        # mechanism here, so give up after 2 restarts and hand back
         res = pcg(op32, r32, M=M, tol=need.astype(r32.dtype),
-                  maxit=maxit_inner)
+                  maxit=maxit_inner, max_stag=2, max_restart=2)
         x = s["x"] + scale * res.x.astype(b64.dtype)
         rn = b64 - op64(x)
         relres = jnp.sqrt(jnp.vdot(rn, rn)) / bnorm

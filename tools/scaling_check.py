@@ -76,36 +76,47 @@ def main(n: int = 256) -> int:
     ok = len(iters) == 1 and all(v[2] for v in results.values())
     emit(f"PARITY {'OK' if ok else 'FAILED'} - iteration counts: {iters}")
 
-    # explicit halo-exchange path: comm pattern + Jacobi-PCG parity
-    from faspsolver_tpu.krylov import JacobiPrecond
-    from faspsolver_tpu.parallel import comm_pattern, halo_dia_operator
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    emit("## explicit halo path (shard_map + ppermute)")
+    # PRODUCTION distributed path: explicit halo-exchange AMG
+    # (halo_shard_hierarchy: per-level HaloDiaOperators + CommMaps),
+    # AMG-PCG through it, whole-cycle HLO comm assertion — the
+    # combination the solver actually ships with (SURVEY §7 step 11).
+    from faspsolver_tpu.parallel import (assert_neighbor_comm_only,
+                                         cycle_comm_pattern,
+                                         halo_shard_hierarchy)
+    emit("## halo-AMG production path (shard_map + ppermute, "
+         "AMG-preconditioned PCG)")
     halo_iters = {}
+    itemsize = np.dtype(hier.levels[0].A.dtype).itemsize
     for k in (1, 2, 4, 8):
         if k > ndev or A.nrow % k:
             continue
         mesh = make_mesh(k)
-        op = halo_dia_operator(A, mesh)
-        sh = NamedSharding(mesh, P("rows"))
-        bd = jax.device_put(jnp.asarray(b, dtype=op.dtype), sh)
-        dinv = jax.device_put(jnp.asarray(1.0 / A.diagonal(),
-                                          dtype=op.dtype), sh)
-        r = pcg(op, bd, M=JacobiPrecond(dinv), tol=1e-8, maxit=2000)
+        hh, cmaps = halo_shard_hierarchy(hier, mesh, min_size=n)
+        bd = shard_vector(jnp.asarray(b, dtype=hh.levels[0].A.dtype), mesh)
+        r = pcg(hh.levels[0].A, bd, M=AMGPrecond(hh), tol=1e-10, maxit=200)
         float(jnp.sum(r.x))
         t0 = time.perf_counter()
-        r = pcg(op, bd, M=JacobiPrecond(dinv), tol=1e-8, maxit=2000)
+        r = pcg(hh.levels[0].A, bd, M=AMGPrecond(hh), tol=1e-10, maxit=200)
         float(jnp.sum(r.x))
         dt = time.perf_counter() - t0
         halo_iters[k] = int(r.iters)
-        hlo = comm_pattern(op)
-        pat = ("collective-permute" if "collective-permute" in hlo
-               else "NONE") + ("+ALL-GATHER!" if "all-gather" in hlo else "")
+        hlo = cycle_comm_pattern(hh, mesh)
+        try:
+            assert_neighbor_comm_only(hlo, A.nrow)
+            pat = "neighbor-permute-only"
+        except AssertionError as e:
+            pat = f"VIOLATION({e})"
+        plans = "; ".join(
+            ("replicated" if c.replicated else
+             f"halo={c.halo} ({c.bytes_per_exchange * itemsize}B/edge)")
+            for c in cmaps)
         emit(f"{k} device(s): iters={int(r.iters):4d} t={dt*1e3:8.1f} ms "
-             f"comm={pat} halo={op.comm_map.halo}")
-    ok_h = len(set(halo_iters.values())) == 1
-    emit(f"HALO PARITY {'OK' if ok_h else 'FAILED'} - "
-         f"iteration counts: {set(halo_iters.values())}")
+             f"converged={bool(r.converged)} cycle-comm={pat}")
+        emit(f"    per-level comm plans: {plans}")
+    ok_h = (len(set(halo_iters.values())) == 1
+            and set(halo_iters.values()) == iters)
+    emit(f"HALO-AMG PARITY {'OK' if ok_h else 'FAILED'} - iteration "
+         f"counts: {set(halo_iters.values())} (GSPMD path: {iters})")
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "scaling_check.out")
