@@ -41,6 +41,16 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
+def _print_platform() -> None:
+    """Stamp the recording with the execution platform/precision so a
+    committed transcript is self-evidently CPU-conformance or TPU-perf."""
+    import jax
+    from ..ops.operators import default_dtype
+    print(f"platform={jax.devices()[0].platform} "
+          f"dtype={np.dtype(default_dtype()).name} "
+          f"devices={len(jax.devices())}")
+
+
 def compute_lmvu(n_base: int = 255, iters: int = 50) -> float:
     """lMVU: CG time per row per iteration on an n_base^2 2D Poisson
     (reference: ComputeLMVUFromBaseline, benchmark.c:338-430)."""
@@ -112,6 +122,7 @@ def generated_problems(sizes_2d=(255, 511, 1023), sizes_3d=(31, 47, 101)):
 def run_generated(solver_kind: str = "amg") -> List[BenchResult]:
     """Score the generated FDM corpus (lMVU-normalized like the reference
     scores SuiteSparse problems)."""
+    _print_platform()
     lmvu = compute_lmvu()
     print(f"lMVU = {lmvu:.3e} s/row/iter")
     solver = _solver_factory(solver_kind)
@@ -131,6 +142,7 @@ def run_benchmark(datadir: str, solver_kind: str = "ilu",
     from ..io import read_mtx
     from ..utils import messages
 
+    _print_platform()
     lmvu = compute_lmvu()
     print(f"lMVU = {lmvu:.3e} s/row/iter")
     solver = _solver_factory(solver_kind)

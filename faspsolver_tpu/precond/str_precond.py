@@ -11,15 +11,16 @@ TPU-native choices:
   the sweep is red-black over the grid parity (exact GS ordering for
   bipartite stencils — the 5/7-point structured case this format exists
   for), each color a masked batched update;
-- ILU(0)/ILU(1): factorized on the expanded CSR by the native kernels at
-  setup, applied via level-scheduled triangular solves (the reference's
-  dstr ILU is also a setup-phase factorization, BlaILUSetupSTR.c).
+- ILU(0)/ILU(1): factorized natively IN BAND SPACE (banded-block
+  wavefront elimination — A is never expanded to CSR), applied via the
+  batched BLOCK level-scheduled solves (the reference's dstr ILU is a
+  banded-block factorization too, BlaILUSetupSTR.c:1282).
 """
 from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -115,13 +116,169 @@ def setup_str_blockgs(A: STRMatrix, nsweeps: int = 2, dtype=None
                              nsweeps=nsweeps)
 
 
+def _band_ilu_pattern(offsets: Tuple[int, ...], fill: int
+                      ) -> Tuple[Tuple[int, ...], dict]:
+    """Symbolic ILU(k) on the band-offset set: fill offset o1+o2 (o1 a
+    lower offset, o2 any nonzero offset of the eliminated row) enters at
+    level lvl(o1)+lvl(o2)+1, kept while <= fill (level-of-fill on the
+    Toeplitz pattern graph; boundaries are handled numerically by range
+    masks, not symbolically)."""
+    lvl = {int(o): 0 for o in offsets}
+    lvl[0] = 0
+    for _ in range(max(fill, 0)):
+        new = {}
+        for o1, l1 in lvl.items():
+            if o1 >= 0:
+                continue
+            for o2, l2 in lvl.items():
+                if o2 <= 0:
+                    continue     # fill comes via the pivot row's U part
+                s = o1 + o2
+                lv = l1 + l2 + 1
+                if s != 0 and s not in lvl and lv <= fill:
+                    new[s] = min(lv, new.get(s, lv))
+        if not new:
+            break
+        lvl.update(new)
+    offs = tuple(sorted(o for o in lvl if o != 0))
+    return offs, lvl
+
+
+def _grid_wavefronts(ng: int, offsets, forward: bool = True
+                     ) -> List[np.ndarray]:
+    """Dependency levels of the banded triangular graph: node g depends
+    on g+o for the given offsets (o<0 forward-substitution, o>0 back-
+    substitution) — the topological schedule the CSR TriangularSolver
+    computes, derived straight from the offsets (longest path)."""
+    lvl = np.zeros(ng, dtype=np.int64)
+    deps = [int(o) for o in offsets if (o < 0 if forward else o > 0)]
+    order_g = range(ng) if forward else range(ng - 1, -1, -1)
+    for g in order_g:
+        m = 0
+        for o in deps:
+            h = g + o
+            if 0 <= h < ng:
+                v = lvl[h] + 1
+                if v > m:
+                    m = v
+        lvl[g] = m
+    order = np.argsort(lvl, kind="stable")
+    bounds = np.searchsorted(lvl[order], np.arange(lvl.max() + 2))
+    return [order[bounds[i]:bounds[i + 1]]
+            for i in range(len(bounds) - 1) if bounds[i] < bounds[i + 1]]
+
+
+def str_ilu_factor_banded(A: STRMatrix, fill: int = 0):
+    """Banded-BLOCK ILU(0)/ILU(1) factorization IN BAND SPACE
+    (reference: fasp_ilu_dstr_setup0/setup1, BlaILUSetupSTR.c:1282 — the
+    reference also factorizes on the dSTR bands with nc x nc blocks).
+
+    The grid loop is vectorized by wavefront: all points on a dependency
+    level factor as ONE batched nc-block elimination (einsum + batched
+    inverse), so setup is O(levels) NumPy calls instead of an ng-long
+    Python loop.  Returns ({offset: (ng, nc, nc) band}, offsets) for the
+    unified LU storage (L unit-lower at negative offsets, U at >= 0).
+    """
+    ng, nc = A.ngrid, A.nc
+    offs, _ = _band_ilu_pattern(A.offsets, fill)
+    bands = {}
+    f64 = np.float64
+    for o in offs:
+        bands[o] = np.zeros((ng, nc, nc), dtype=f64)
+    bands[0] = A.diag.astype(f64).copy()
+    for o, band in zip(A.offsets, A.offdiag):
+        bands[int(o)][:] = band.astype(f64)
+    neg = sorted(o for o in offs if o < 0)
+    all_offs = sorted(list(offs) + [0])
+
+    for rows in _grid_wavefronts(ng, neg):
+        # eliminate columns k = g + o in increasing k order (IKJ); rows
+        # within a wavefront only read earlier-level U rows, so each
+        # step is one batched block op over the wavefront
+        for o in neg:                       # most negative first = k asc
+            g = rows[rows + o >= 0]
+            if g.size == 0:
+                continue
+            k = g + o
+            dk = bands[0][k]
+            # L entry: a[g,k] <- a[g,k] @ inv(U[k,k])
+            lk = np.einsum("gab,gbc->gac", bands[o][g], np.linalg.inv(dk))
+            bands[o][g] = lk
+            # update the remainder of row g on the kept pattern with the
+            # U part of the pivot row (columns k+o2 > k only)
+            for o2 in all_offs:
+                if o2 <= 0:
+                    continue
+                t = o + o2                  # target offset in row g
+                if t not in bands and t != 0:
+                    continue                # dropped fill
+                gg = g[(k + o2 >= 0) & (k + o2 < ng)]
+                if gg.size == 0:
+                    continue
+                kk = gg + o
+                upd = np.einsum("gab,gbc->gac", bands[o][gg],
+                                bands[o2][kk])
+                if t == 0:
+                    bands[0][gg] -= upd
+                else:
+                    sel = (gg + t >= 0) & (gg + t < ng)
+                    if sel.any():
+                        bands[t][gg[sel]] -= upd[sel]
+    return bands, tuple(all_offs)
+
+
+def _banded_block_solver(bands: dict, offs, ng: int, nc: int,
+                         lower: bool, dtype):
+    """Pack one triangle of the factored bands into batched block levels
+    for the existing :class:`~.ilu.BlockTriangularSolver` — straight from
+    band space, no sparse-matrix intermediary."""
+    from .ilu import BlockTriangularSolver, _BTriLevel
+    np_dtype = np.dtype(dtype)
+    tri = sorted(o for o in offs if (o < 0 if lower else o > 0))
+    dinv_full = (np.linalg.inv(bands[0]) if not lower else None)
+    eye = np.eye(nc, dtype=np_dtype)
+    levels = []
+    for rows in _grid_wavefronts(ng, tri, forward=lower):
+        m = len(rows)
+        k = max(len(tri), 1)
+        cols = np.full((m, k), ng, dtype=np.int32)
+        blks = np.zeros((m, k, nc, nc), dtype=np_dtype)
+        for s, o in enumerate(tri):
+            h = rows + o
+            ok = (h >= 0) & (h < ng)
+            cols[ok, s] = h[ok]
+            blks[ok, s] = bands[o][rows[ok]]
+        di = (dinv_full[rows].astype(np_dtype) if not lower
+              else np.broadcast_to(eye, (m, nc, nc)).copy())
+        levels.append(_BTriLevel(
+            rows=jnp.asarray(rows.astype(np.int32)),
+            cols=jnp.asarray(cols), vals=jnp.asarray(blks),
+            dinv=jnp.asarray(di)))
+    return BlockTriangularSolver(levels=tuple(levels), n=ng)
+
+
 def setup_str_ilu(A: STRMatrix, fill: int = 0, dtype=None):
     """STR ILU(0)/ILU(1) (reference: fasp_ilu_dstr_setup0/1,
-    BlaILUSetupSTR.c; applier fasp_precond_dstr_ilu0/1, PreSTR.c) —
-    factorized on the expanded CSR, applied with level-scheduled solves."""
-    from .ilu import setup_ilu
-    from ..utils.params import ILUParam
-    from ..constants import ILUType
-    return setup_ilu(A.to_csr(),
-                     ILUParam(ILU_type=int(ILUType.ILUK), ILU_lfil=fill),
-                     dtype=dtype)
+    BlaILUSetupSTR.c:1282; applier fasp_precond_dstr_ilu0/1, PreSTR.c).
+
+    Factorized natively in band space (banded-block wavefront
+    elimination, :func:`str_ilu_factor_banded` — A is never expanded to
+    CSR) and applied with the existing batched BLOCK level-scheduled
+    solves.  ``fill >= 2`` falls back to the CSR ILU(k) machinery (the
+    reference's dstr setups only exist for 0/1 either)."""
+    from .ilu import BSRILUPrecond
+    dtype = dtype or default_dtype()
+    if fill >= 2:
+        from .ilu import setup_ilu
+        from ..utils.params import ILUParam
+        from ..constants import ILUType
+        return setup_ilu(A.to_csr(),
+                         ILUParam(ILU_type=int(ILUType.ILUK),
+                                  ILU_lfil=fill), dtype=dtype)
+    bands, offs = str_ilu_factor_banded(A, fill)
+    return BSRILUPrecond(
+        Lsolve=_banded_block_solver(bands, offs, A.ngrid, A.nc, True,
+                                    dtype),
+        Usolve=_banded_block_solver(bands, offs, A.ngrid, A.nc, False,
+                                    dtype),
+        nb=A.nc)

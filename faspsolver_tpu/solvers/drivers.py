@@ -223,6 +223,14 @@ def krylov_ilu(A, b, x0=None, its: Optional[ITSParam] = None,
             return itsolver(A, b, x0=x0, M=M, its=its)
         except FaspError:
             pass
+    if isinstance(A, STRMatrix) and int(ilu.ILU_lfil) <= 1:
+        # STR-native banded-block ILU(0)/(1): factorized in band space,
+        # batched block level-scheduled apply (reference:
+        # fasp_solver_dstr_krylov_ilu, SolSTR.c:236 ->
+        # fasp_ilu_dstr_setup0/1, BlaILUSetupSTR.c:1282)
+        from ..precond.str_precond import setup_str_ilu
+        M = setup_str_ilu(A, fill=int(ilu.ILU_lfil))
+        return itsolver(A, b, x0=x0, M=M, its=its)
     if isinstance(A, (BSRMatrix, STRMatrix)):
         host = A.to_csr()
     elif isinstance(A, CSRMatrix):
