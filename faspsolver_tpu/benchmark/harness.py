@@ -90,6 +90,15 @@ def _solver_factory(kind: str):
     from ..constants import ILUType, SolverType
     from ..solvers import krylov, krylov_amg, krylov_ilu
     from ..utils.params import ILUParam, ITSParam
+    from ..ops.operators import default_dtype
+
+    if np.dtype(default_dtype()) == np.float32:
+        # performance mode (--tpu, f32 ambient): the target tol 1e-8 is
+        # below the f32 residual floor, so the honest TPU configuration
+        # is the framework's documented mixed-precision mode — f32
+        # AMG/ILU-preconditioned vGMRES inside f64 refinement.  Scores
+        # stay lMVU-normalized; `iters` reports total inner iterations.
+        return _refined_factory(kind)
 
     its = ITSParam(itsolver_type=int(SolverType.VGMRES), tol=1e-8,
                    maxit=2000, restart=60)
@@ -101,6 +110,51 @@ def _solver_factory(kind: str):
         return lambda A, b: krylov_ilu(A, b, its=its, ilu=ilu)
     cg_its = ITSParam(tol=1e-8, maxit=5000)
     return lambda A, b: krylov(A, b, its=cg_its)
+
+
+def _refined_factory(kind: str):
+    """f32 inner Krylov + f64 refinement to 1e-8 (solvers.solve_refined)."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from ..constants import ILUType
+    from ..krylov import pcg, vgmres
+    from ..ops import device_operator
+    from ..precond import AMGPrecond, setup_ilu
+    from ..precond.amg import setup_rs
+    from ..solvers import solve_refined
+    from ..utils.params import AMGParam, ILUParam
+
+    @dataclasses.dataclass
+    class _Res:
+        x: object
+        iters: int
+        relres: float
+        converged: bool
+
+    def run(A, b):
+        op32 = device_operator(A, dtype=jnp.float32)
+        if kind == "amg":
+            M = AMGPrecond(setup_rs(A, AMGParam(), dtype=jnp.float32))
+        elif kind == "ilu":
+            M = setup_ilu(A, ILUParam(ILU_type=int(ILUType.ILUTP),
+                                      ILU_droptol=1e-4),
+                          dtype=jnp.float32)
+        else:
+            M = None
+
+        def inner(r, tl):
+            if kind == "cg":
+                return pcg(op32, r, M=M, tol=tl, maxit=2000,
+                           max_stag=2, max_restart=2)
+            return vgmres(op32, r, M=M, tol=tl, maxit=2000, restart=60)
+
+        res = solve_refined(A, b, inner, tol=1e-8, max_rounds=8,
+                            dtype=jnp.float32)
+        return _Res(x=res.x, iters=res.inner_iters, relres=res.relres,
+                    converged=res.converged)
+
+    return run
 
 
 def generated_problems(sizes_2d=(255, 511, 1023), sizes_3d=(31, 47, 101)):

@@ -99,14 +99,6 @@ def _krylov_config(name, solver, precond, only=None, **kw):
     return (name, run)
 
 
-# matrices the AMG setups handle sensibly (discretization-like graphs);
-# the reference runs AMG on every .mtx and its golden logs the failures —
-# the parity table (golden/MM_PARITY.md) records both sides
-_SPD_MM = (lambda p: p in ("nos7",))
-_AMGABLE_MM = (lambda p: p in ("nos7", "add32", "sherman1", "orsreg_1",
-                               "jpwh_991"))
-
-
 def _diagscaled(run):
     """Symmetric diagonal scaling wrapper: solve
     (D^-1/2 A D^-1/2) y = D^-1/2 b, return x = D^-1/2 y (reference:
@@ -304,101 +296,84 @@ def mm_problems(datadir: str = REFDATA):
 
 
 def mm_configs() -> List[Tuple[str, Callable]]:
-    """MatrixMarket solver matrix toward regression_mm.c:115-321's list:
-    diagonal-preconditioned Krylov, AMG-preconditioned Krylov, and the ILU
-    family incl. the in-house pivoted ILUtp (which solves driven-cavity /
-    transport problems where unpivoted ILU breaks down — e05r0500,
-    gre__115).  ATTENTION rows on watt__1 / lns__131 are expected: they
-    are conditioning-limited (~1e15) for any f64 solver, and the
-    reference's own golden reg_mm.out logs 223 ATTENTION lines."""
-    return [
-        _krylov_config("BiCGstab + diag", bicgstab, JacobiPrecond.from_csr,
-                       maxit=3000, tol=1e-12),
-        _krylov_config("vGMRES + diag", vgmres, JacobiPrecond.from_csr,
-                       restart=50, maxit=3000, tol=1e-12),
-        _krylov_config("GMRES + AMG", gmres, _amg_precond(
-            smoother=int(SmootherType.GS)), restart=40, maxit=1000,
-            tol=1e-10),
-        _krylov_config("vGMRES + ILUt", vgmres, _ilu_precond(
-            ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), restart=40,
-            maxit=2000, tol=1e-10),
-        _krylov_config("GMRES + ILUt", gmres, _ilu_precond(
-            ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), restart=40,
-            maxit=2000, tol=1e-10),
-        _krylov_config("BiCGstab + ILUt", bicgstab, _ilu_precond(
-            ILU_type=int(ILUType.ILUT), ILU_droptol=1e-4), maxit=2000,
-            tol=1e-10),
-        _krylov_config("GMRES + ILUtp", gmres, _ilu_precond(
-            ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4, ILU_lfil=40,
-            ILU_permtol=0.05), restart=60, maxit=2000, tol=1e-12),
-        _krylov_config("vGMRES + ILUtp", vgmres, _ilu_precond(
-            ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4, ILU_lfil=40,
-            ILU_permtol=0.05), restart=60, maxit=2000, tol=1e-12),
-        # --- AMG-preconditioned families (regression_mm.c AMG block:
-        # CG/BiCGstab/GMRES x classical/SA/UA).  SPD-only solvers are
-        # restricted to the SPD matrices (nos7); the reference runs CG on
-        # the nonsymmetric set too and logs the failures in its golden —
-        # restricting is the same information without 30 junk rows ---
-        _krylov_config("CG + C-AMG", pcg, _amg_precond(
-            smoother=int(SmootherType.GS)), maxit=1000, tol=1e-10,
-            only=_SPD_MM),
-        _krylov_config("CG + SA-AMG", pcg, _amg_precond(
-            AMG_type=int(AMGType.SA), smoother=int(SmootherType.GS)),
-            maxit=1000, tol=1e-10, only=_SPD_MM),
-        _krylov_config("CG + UA-AMG", pcg, _amg_precond(
-            AMG_type=int(AMGType.UA), smoother=int(SmootherType.GS)),
-            maxit=1000, tol=1e-10, only=_SPD_MM),
-        _krylov_config("BiCGstab + C-AMG", bicgstab, _amg_precond(
-            smoother=int(SmootherType.GS)), maxit=1000, tol=1e-10,
-            only=_AMGABLE_MM),
-        _krylov_config("BiCGstab + SA-AMG", bicgstab, _amg_precond(
-            AMG_type=int(AMGType.SA), smoother=int(SmootherType.GS)),
-            maxit=1000, tol=1e-10, only=_AMGABLE_MM),
-        _krylov_config("BiCGstab + UA-AMG", bicgstab, _amg_precond(
-            AMG_type=int(AMGType.UA), smoother=int(SmootherType.GS)),
-            maxit=1000, tol=1e-10, only=_AMGABLE_MM),
-        _krylov_config("GMRES + SA-AMG", gmres, _amg_precond(
-            AMG_type=int(AMGType.SA), smoother=int(SmootherType.GS)),
-            restart=40, maxit=1000, tol=1e-10, only=_AMGABLE_MM),
-        _krylov_config("GMRES + UA-AMG", gmres, _amg_precond(
-            AMG_type=int(AMGType.UA), smoother=int(SmootherType.GS)),
-            restart=40, maxit=1000, tol=1e-10, only=_AMGABLE_MM),
-        # --- safety-net rows (KrySP* family: best-iterate tracking) ---
-        ("SafeCG + diag", lambda A, b: pcg(
-            device_operator(A, prefer="ell"), jnp.asarray(b),
-            M=JacobiPrecond.from_csr(A), tol=1e-12, maxit=2000, safe=True),
-            _SPD_MM),
-        ("SafeBiCGstab + diag", lambda A, b: bicgstab(
-            device_operator(A, prefer="ell"), jnp.asarray(b),
-            M=JacobiPrecond.from_csr(A), tol=1e-12, maxit=2000, safe=True)),
-        ("SafeGMRES + diag", lambda A, b: gmres(
-            device_operator(A, prefer="ell"), jnp.asarray(b),
-            M=JacobiPrecond.from_csr(A), tol=1e-12, maxit=3000, restart=60,
-            safe=True)),
-        ("SafeVGMRES + ILUt", lambda A, b: vgmres(
-            device_operator(A, prefer="ell"), jnp.asarray(b),
-            M=_ilu_precond(ILU_type=int(ILUType.ILUT),
-                           ILU_droptol=1e-4)(A),
-            tol=1e-12, maxit=2000, restart=60, safe=True)),
-        # --- watt__1 with symmetric diagonal scaling: closes the 3-6e-4
-        # near-misses the unscaled rows leave (the matrix's ~1e9 diagonal
-        # spread dominates its conditioning; reference analog:
-        # fasp_dcsr_symdiagscale) ---
+    """The reference's FULL MatrixMarket grid (regression_mm.c:352-471):
+    8 Krylov solvers (CG/BiCGstab/MinRes/GMRES/vGMRES/vFGMRES/GCG/GCR) x
+    6 preconditioner families (none/diag/ILUk/ILUt/ILUtp/classical AMG)
+    + AMG-as-solver = 49 configs per matrix, with the reference's exact
+    budgets (maxit=100, tol=1e-15, restart=25; ILU defaults lfil=2 /
+    droptol=1e-3 / permtol=0.01, AuxParam.c fasp_param_ilu_init) and
+    acceptance rule maxdiff <= 1e-4.  Many rows fail BY DESIGN — the
+    reference's own golden logs 223 ATTENTION of 480 — and the per-config
+    parity table (golden/MM_PARITY.md, tools/mmparity.py) pairs every row
+    with the reference counterpart.  Three diagscaled closers beyond the
+    reference grid are kept from round 3 (they document that watt__1 /
+    lns__131 ARE solvable with symmetric diagonal scaling).
+
+    One preconditioner setup per (matrix, family) serves all 8 solver
+    rows (the reference also reuses iluparam across its solver loop)."""
+    solvers = [
+        ("CG", pcg, {}), ("BiCGstab", bicgstab, {}),
+        ("MinRes", minres, {}), ("GMRES", gmres, {"restart": 25}),
+        ("vGMRES", vgmres, {"restart": 25}),
+        ("vFGMRES", vfgmres, {"restart": 25}),
+        ("GCG", gcg, {"restart": 25}), ("GCR", gcr, {"restart": 25}),
+    ]
+    fams = [
+        ("", lambda A: None),
+        (" + diag", JacobiPrecond.from_csr),
+        (" + ILUk", lambda A: setup_ilu(A, ILUParam(
+            ILU_type=int(ILUType.ILUK), ILU_lfil=2))),
+        (" + ILUt", lambda A: setup_ilu(A, ILUParam(
+            ILU_type=int(ILUType.ILUT), ILU_droptol=1e-3))),
+        (" + ILUtp", lambda A: setup_ilu(A, ILUParam(
+            ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-3,
+            ILU_permtol=0.01))),
+        (" + AMG", lambda A: AMGPrecond(setup_rs(A, AMGParam()))),
+    ]
+    cache: dict = {}
+
+    def mk(label, solver, kw, fname, fbuild):
+        def run(A, b):
+            key = (id(A), fname)
+            if key not in cache:
+                # one matrix in flight at a time: drop the previous
+                # matrix's preconditioners (10 matrices x 6 families of
+                # ILU/AMG device structures would otherwise accumulate
+                # and OOM the 490-run grid on small hosts)
+                for k in [k for k in cache if k[0] != id(A)]:
+                    del cache[k]
+                cache[key] = fbuild(A)
+            op = device_operator(A, prefer="ell")
+            return solver(op, jnp.asarray(b), M=cache[key], tol=1e-15,
+                          maxit=100, **kw)
+        return (label, run)
+
+    cfgs: List[Tuple[str, Callable]] = []
+    for fname, fbuild in fams:
+        for sname, solver, kw in solvers:
+            cfgs.append(mk(sname + fname, solver, kw, fname, fbuild))
+    cfgs.append(("AMG solver", lambda A, b: _run_amg_solver(
+        A, b, AMGParam(maxit=20, tol=1e-10))))
+    # --- beyond-reference closers (round 3): symmetric diagonal scaling
+    # solves the conditioning-limited matrices the raw grid cannot ---
+    cfgs += [
         ("GMRES + ILUtp (diagscaled)",
          _diagscaled(lambda A, b: gmres(
              device_operator(A, prefer="ell"), jnp.asarray(b),
-             M=_ilu_precond(ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-4,
-                            ILU_lfil=40, ILU_permtol=0.05)(A),
+             M=setup_ilu(A, ILUParam(ILU_type=int(ILUType.ILUTP),
+                                     ILU_droptol=1e-4, ILU_lfil=40,
+                                     ILU_permtol=0.05)),
              tol=1e-13, maxit=2000, restart=60)),
          lambda p: p == "watt__1"),
         ("BiCGstab + ILUt (diagscaled)",
          _diagscaled(lambda A, b: bicgstab(
              device_operator(A, prefer="ell"), jnp.asarray(b),
-             M=_ilu_precond(ILU_type=int(ILUType.ILUT),
-                            ILU_droptol=1e-5)(A),
+             M=setup_ilu(A, ILUParam(ILU_type=int(ILUType.ILUT),
+                                     ILU_droptol=1e-5)),
              tol=1e-13, maxit=2000)),
          lambda p: p in ("watt__1", "lns__131")),
     ]
+    return cfgs
 
 
 def bsr_problems(datadir: str = REFDATA):
@@ -534,8 +509,13 @@ def matfree_configs() -> List[Tuple[str, Callable]]:
 
 
 def run_matrix(configs, problems) -> List[RegResult]:
+    import jax
+
     results = []
     for pname, A, b, sol in problems:
+        # per-problem shapes never hit each other's compiled programs;
+        # dropping them bounds host memory over a 490-run grid
+        jax.clear_caches()
         for cfg in configs:
             cname, run = cfg[0], cfg[1]
             if len(cfg) > 2 and not cfg[2](pname):
