@@ -203,6 +203,136 @@ class DiaOperator:
                    tuple(int(o) for o in offsets), bands.shape[1])
 
 
+def pack_bits(mask: np.ndarray) -> np.ndarray:
+    """Bit-pack a boolean row mask into int32 words (bit i of word i//32).
+    Device unpack is :func:`unpack_bits`; 32x less HBM than an f32 mask."""
+    m = np.asarray(mask, dtype=bool)
+    n = m.size
+    nw = (n + 31) // 32
+    padded = np.zeros(nw * 32, dtype=np.uint32)
+    padded[:n] = m
+    words = (padded.reshape(nw, 32)
+             << np.arange(32, dtype=np.uint32)[None, :]).sum(
+        axis=1, dtype=np.uint32)
+    return words.view(np.int32)
+
+
+def unpack_bits_np(words: np.ndarray, n: int) -> np.ndarray:
+    """Host inverse of :func:`pack_bits` -> (n,) float 0/1."""
+    bits = np.unpackbits(np.asarray(words).view(np.uint8),
+                         bitorder="little")
+    return bits[:n].astype(np.float64)
+
+
+def unpack_bits(words: jax.Array, n: int, dtype) -> jax.Array:
+    """Traced inverse of :func:`pack_bits`: (nw,) int32 -> (n,) 0/1 of
+    ``dtype``.  Pure reshape/shift/mask — XLA fuses it into the consumer,
+    so the mask never round-trips HBM at full width."""
+    bits = jnp.arange(32, dtype=jnp.int32)
+    m = (words[:, None] >> bits[None, :]) & 1
+    return m.reshape(-1)[:n].astype(dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ConstDiaOperator:
+    """DIA bands whose values are ONE scalar each on a row bitmask.
+
+    Classical-AMG coarse operators and grid-transfer bands of
+    constant-coefficient problems are constant along each diagonal except
+    for a presence pattern (C/F structure, boundaries): ``band_k = c_k *
+    mask_k`` exactly.  Storing (scalar, packed bitmask) instead of a full
+    (n,) float band cuts the device footprint and SpMV HBM traffic by
+    ~32x per band, and the apply stays bit-identical to the full band
+    (the mask multiply is exact 0/1).
+
+    Reference analog: the dSTRmat constant-stencil storage
+    (fasp.h:316-348) — generalized to any constant diagonal without
+    needing grid detection.
+    """
+
+    consts: jax.Array        # (k,)
+    masks: jax.Array         # (k, nw) int32 bit-packed row masks
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def ncol(self) -> int:
+        return self.n
+
+    @property
+    def dtype(self):
+        return self.consts.dtype
+
+    @property
+    def nnz(self) -> int:
+        return len(self.offsets) * self.n
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = self.n
+        pad = max(max(abs(o) for o in self.offsets), 1)
+        xp = jnp.pad(x, (pad, pad))
+        y = jnp.zeros_like(x)
+        for k, off in enumerate(self.offsets):
+            m = unpack_bits(self.masks[k], n, x.dtype)
+            y = y + (self.consts[k] * m) * jax.lax.slice(
+                xp, (pad + off,), (pad + off + n,))
+        return y
+
+    def diagonal(self) -> jax.Array:
+        for k, off in enumerate(self.offsets):
+            if off == 0:
+                return self.consts[k] * unpack_bits(
+                    self.masks[k], self.n, self.dtype)
+        return jnp.zeros(self.n, dtype=self.dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SumOperator:
+    """Sum of operator parts (same shape): composes ConstDia + Dia + COO
+    pieces of one matrix into a single operator closure."""
+
+    parts: Tuple[Any, ...]
+
+    @property
+    def n(self) -> int:
+        return self.parts[0].shape[0]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.parts[0].shape
+
+    @property
+    def ncol(self) -> int:
+        return self.parts[0].shape[1]
+
+    @property
+    def dtype(self):
+        return self.parts[0].dtype
+
+    @property
+    def nnz(self) -> int:
+        return sum(int(getattr(p, "nnz", 0)) for p in self.parts)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = self.parts[0](x)
+        for p in self.parts[1:]:
+            y = y + p(x)
+        return y
+
+    def diagonal(self) -> jax.Array:
+        y = self.parts[0].diagonal()
+        for p in self.parts[1:]:
+            if hasattr(p, "diagonal"):
+                y = y + p.diagonal()
+        return y
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DiaNdOperator:
@@ -728,7 +858,7 @@ class HybridDiaOperator:
 
     @property
     def nnz(self) -> int:
-        return int(self.dia.bands.size + self.rem.vals.size)
+        return int(self.dia.nnz + self.rem.vals.size)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.dia(x) + self.rem(x)
@@ -793,9 +923,10 @@ def best_operator(A: CSRMatrix, dtype=None, max_bands: int = 64,
                     if _DEFER_DEVICE.get():
                         return st
                     return jax.tree_util.tree_map(jnp.asarray, st)
-        return DiaOperator(asdev(bands),
-                           tuple(int(o) for o in keep_offs), n)
-    dia = DiaOperator(asdev(bands), tuple(int(o) for o in keep_offs), n)
+        return _const_compress_dia(bands, keep_offs, n, dtype) or \
+            DiaOperator(asdev(bands), tuple(int(o) for o in keep_offs), n)
+    dia = _const_compress_dia(bands, keep_offs, n, dtype) or \
+        DiaOperator(asdev(bands), tuple(int(o) for o in keep_offs), n)
     pad = _round_up(nrem, 128)
     r_rows = np.full(pad, n, dtype=np.int32)
     r_cols = np.zeros(pad, dtype=np.int32)
@@ -806,6 +937,53 @@ def best_operator(A: CSRMatrix, dtype=None, max_bands: int = 64,
     r_vals[:nrem] = A.data[outb]
     rem = CooOperator(asdev(r_rows), asdev(r_cols), asdev(r_vals), n, n)
     return HybridDiaOperator(dia=dia, rem=rem)
+
+
+def _const_compress_dia(bands: np.ndarray, offs, n: int, dtype,
+                        min_const: int = 2):
+    """Split DIA bands into constant (scalar x bitmask) and full parts.
+
+    A band compresses when EVERY nonzero equals one value — the apply is
+    then bit-identical to the full band (exact 0/1 mask multiply), so
+    this is safe for conformance-mode f64 hierarchies too.  Returns a
+    ConstDiaOperator / SumOperator(const, full) when at least
+    ``min_const`` bands compress (and n is large enough to matter), else
+    None.  Classical-AMG coarse operators of constant-coefficient
+    problems compress almost entirely (measured: 8/9 bands at the first
+    FE coarse level)."""
+    if n < 4096:
+        return None
+    const_k, full_k = [], []
+    for k in range(bands.shape[0]):
+        band = bands[k]
+        nzidx = np.flatnonzero(band)
+        if nzidx.size == 0:
+            const_k.append((k, 0.0, band != 0))
+            continue
+        # candidate constant = mode of a sample (the FIRST nonzero is
+        # often an atypical boundary row), then verify every entry.
+        # Equality is in the TARGET dtype: f64 Galerkin bands carry
+        # ~1e-10 summation noise around their constant, which vanishes
+        # under the f32 cast — so the f32 performance path compresses
+        # where f64 conformance (bit-strict) keeps full bands.
+        sample = band[nzidx[:: max(1, nzidx.size // 512)]]
+        v, c = np.unique(sample, return_counts=True)
+        v0 = v[c.argmax()]
+        if v0 != 0.0 and np.all(band[nzidx] == v0):
+            const_k.append((k, float(v0), band != 0))
+        else:
+            full_k.append(k)
+    if len(const_k) < min_const:
+        return None
+    consts = np.array([c for _, c, _ in const_k], dtype=np.dtype(dtype))
+    masks = np.stack([pack_bits(m) for _, _, m in const_k])
+    cop = ConstDiaOperator(asdev(consts), asdev(masks),
+                           tuple(int(offs[k]) for k, _, _ in const_k), n)
+    if not full_k:
+        return cop
+    fop = DiaOperator(asdev(bands[full_k]),
+                      tuple(int(offs[k]) for k in full_k), n)
+    return SumOperator(parts=(cop, fop))
 
 
 def device_operator(A, dtype=None, prefer: Optional[str] = None):

@@ -221,6 +221,21 @@ def _flat_level_bands(op) -> Optional[Tuple[np.ndarray, Tuple[int, ...]]]:
                 g[tuple(idx)] = 0.0
             rows.append(g.reshape(-1))
         return np.stack(rows), op.offsets
+    from ..ops.operators import ConstDiaOperator, SumOperator, \
+        unpack_bits_np
+    if isinstance(op, ConstDiaOperator):
+        consts = np.asarray(op.consts)
+        masks = np.asarray(op.masks)
+        bands = np.stack([consts[k] * unpack_bits_np(masks[k], op.n)
+                          for k in range(len(op.offsets))])
+        return bands.astype(consts.dtype), op.offsets
+    if isinstance(op, SumOperator):
+        parts = [_flat_level_bands(p) for p in op.parts]
+        if any(p is None for p in parts):
+            return None
+        bands = np.concatenate([b for b, _ in parts])
+        offs = tuple(o for _, po in parts for o in po)
+        return bands, offs
     return None
 
 

@@ -107,7 +107,14 @@ def build_smoother(A: CSRMatrix, kind: int, *, relax: float = 1.0,
     dtype = dtype or default_dtype()
     d = A.diagonal()
     dsafe = np.where(d != 0.0, d, 1.0)
-    dinv = asdev(1.0 / dsafe, dtype=dtype)
+
+    def _compact(v):
+        """Constant vectors ship as (1,) and broadcast in the elementwise
+        smoother updates — constant-coefficient levels pay ~0 transfer."""
+        v = np.asarray(v)
+        return v[:1].copy() if v.size and np.all(v == v.flat[0]) else v
+
+    dinv = asdev(_compact(1.0 / dsafe), dtype=dtype)
 
     kind = int(kind)
     if kind in (SmootherType.JACOBI, SmootherType.JACOBIF):

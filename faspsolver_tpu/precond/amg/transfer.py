@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -182,7 +182,8 @@ class BandedProlong:
     """
 
     fpos: jax.Array      # (n_coarse,) int32 fine position of coarse dof j
-    w: jax.Array         # (k, n_fine) band weights in fine row space
+    w: jax.Array         # (k, n_fine) band weights in fine row space;
+                         # (k, 1) dummy zeros under const_mode
     rem_rows: jax.Array  # (nnz_rem_pad,) int32 fine ids (pad -> n_fine)
     rem_cols: jax.Array  # (nnz_rem_pad,) int32 coarse ids (pad -> n_coarse)
     rem_vals: jax.Array  # (nnz_rem_pad,)
@@ -190,6 +191,14 @@ class BandedProlong:
     n_fine: int = dataclasses.field(metadata=dict(static=True))
     n_coarse: int = dataclasses.field(metadata=dict(static=True))
     has_rem: bool = dataclasses.field(metadata=dict(static=True))
+    # constant-band encoding (w[k] = wc[k] * bitmask): grid-born
+    # interpolation weights are constant per shift away from boundaries,
+    # so the bands ship as one scalar + a 1-bit/row mask — ~32x less
+    # transfer and SpMV traffic, bit-identical apply (exact 0/1 mask)
+    wc: Optional[jax.Array] = None          # (k,) band constants
+    wm: Optional[jax.Array] = None          # (k, nw) int32 packed masks
+    const_mode: bool = dataclasses.field(metadata=dict(static=True),
+                                         default=False)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -197,7 +206,14 @@ class BandedProlong:
 
     @property
     def dtype(self):
-        return self.w.dtype
+        return self.wc.dtype if self.const_mode else self.w.dtype
+
+    def _band(self, k, dtype):
+        if self.const_mode:
+            from ...ops.operators import unpack_bits
+            return self.wc[k] * unpack_bits(self.wm[k], self.n_fine,
+                                            dtype)
+        return self.w[k]
 
     def __call__(self, xc: jax.Array) -> jax.Array:
         nf = self.n_fine
@@ -207,8 +223,8 @@ class BandedProlong:
         xp = jnp.pad(xe, (pad, pad))
         y = jnp.zeros(nf, dtype=xc.dtype)
         for k, s in enumerate(self.shifts):
-            y = y + self.w[k] * jax.lax.slice(xp, (pad + s,),
-                                              (pad + s + nf,))
+            y = y + self._band(k, xc.dtype) * jax.lax.slice(
+                xp, (pad + s,), (pad + s + nf,))
         if self.has_rem:
             prod = self.rem_vals * xc[self.rem_cols]
             y = y + jax.ops.segment_sum(prod, self.rem_rows,
@@ -233,6 +249,10 @@ class BandedRestrict:
     n_fine: int = dataclasses.field(metadata=dict(static=True))
     n_coarse: int = dataclasses.field(metadata=dict(static=True))
     has_rem: bool = dataclasses.field(metadata=dict(static=True))
+    wc: Optional[jax.Array] = None
+    wm: Optional[jax.Array] = None
+    const_mode: bool = dataclasses.field(metadata=dict(static=True),
+                                         default=False)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -240,14 +260,21 @@ class BandedRestrict:
 
     @property
     def dtype(self):
-        return self.w.dtype
+        return self.wc.dtype if self.const_mode else self.w.dtype
+
+    def _band(self, k, dtype):
+        if self.const_mode:
+            from ...ops.operators import unpack_bits
+            return self.wc[k] * unpack_bits(self.wm[k], self.n_fine,
+                                            dtype)
+        return self.w[k]
 
     def __call__(self, xf: jax.Array) -> jax.Array:
         nf = self.n_fine
         pad = max(max((abs(s) for s in self.shifts), default=0), 1)
         ye = jnp.zeros(nf, dtype=xf.dtype)
         for k, s in enumerate(self.shifts):
-            t = self.w[k] * xf
+            t = self._band(k, xf.dtype) * xf
             tp = jnp.pad(t, (pad, pad))
             ye = ye + jax.lax.slice(tp, (pad - s,), (pad - s + nf,))
         yc = ye[self.fpos]
@@ -314,9 +341,55 @@ def banded_transfer(P: CSRMatrix, fpos: np.ndarray, dtype=None,
     lane = np.array([lane_of.get(int(s), -1) for s in uniq],
                     dtype=np.int64)[inv]
     sel = lane >= 0
-    w = np.zeros((len(kept_sorted), nf), dtype=np.dtype(dtype))
-    # (row, shift) is unique because fpos is injective
-    w[lane[sel], rows[sel]] = P.data[sel]
+    # ---- constant-band detection: grid-born interpolation weights are
+    # one value per shift away from boundaries.  Perfectly-constant
+    # lanes encode bit-identically as scalar x bitmask in ANY dtype; in
+    # f32 performance mode near-constant lanes additionally demote their
+    # non-modal entries (<= 5% of nnz) into the exact COO remainder ----
+    nlanes = len(kept_sorted)
+    modes = np.zeros(nlanes, dtype=np.float64)
+    is_f32 = np.dtype(dtype) == np.float32
+    demote = np.zeros(d.shape[0], dtype=bool)
+    const_ok = nlanes > 0
+    n_exc = 0
+    # compare in the TARGET dtype: summation noise around a constant
+    # weight (~1e-13 in f64 interpolation products) vanishes under the
+    # f32 cast, so the performance mode sees the true constant structure
+    data_cmp = P.data.astype(np.dtype(dtype))
+    for li in range(nlanes):
+        idx = np.flatnonzero(sel & (lane == li))
+        if idx.size == 0:
+            continue
+        v, c = np.unique(data_cmp[idx], return_counts=True)
+        modes[li] = v[c.argmax()]
+        exc = idx[data_cmp[idx] != modes[li]]
+        if exc.size:
+            if is_f32:
+                demote[exc] = True
+                n_exc += int(exc.size)
+            else:
+                const_ok = False
+    if is_f32 and n_exc > 0.05 * nnz:
+        const_ok = False
+        demote[:] = False
+    const_mode = bool(const_ok)
+    if is_f32 and const_mode:
+        sel = sel & ~demote
+    if const_mode:
+        from ...ops.operators import pack_bits
+        wm_np = np.zeros((nlanes, (nf + 31) // 32), dtype=np.int32)
+        rowmask = np.zeros(nf, dtype=bool)
+        for li in range(nlanes):
+            rowmask[:] = False
+            rowmask[rows[sel & (lane == li)]] = True
+            wm_np[li] = pack_bits(rowmask)
+        wc_np = modes.astype(np.dtype(dtype))
+        w = np.zeros((nlanes, 1), dtype=np.dtype(dtype))   # dummy
+    else:
+        wc_np = wm_np = None
+        w = np.zeros((nlanes, nf), dtype=np.dtype(dtype))
+        # (row, shift) is unique because fpos is injective
+        w[lane[sel], rows[sel]] = P.data[sel]
     # COO remainder (shared arrays between P and R, csr_transfer-style)
     n_rem = int((~sel).sum())
     has_rem = n_rem > 0
@@ -333,10 +406,12 @@ def banded_transfer(P: CSRMatrix, fpos: np.ndarray, dtype=None,
     rr_d, rc_d, rv_d = asdev(rr), asdev(rc), asdev(rv)
     shifts = tuple(int(s) for s in kept_sorted)
     args = (fpos_d, w_d, rr_d, rc_d, rv_d)
-    return (BandedProlong(*args, shifts=shifts, n_fine=nf, n_coarse=nc,
-                          has_rem=has_rem),
-            BandedRestrict(*args, shifts=shifts, n_fine=nf, n_coarse=nc,
-                           has_rem=has_rem))
+    kw = dict(shifts=shifts, n_fine=nf, n_coarse=nc, has_rem=has_rem,
+              const_mode=const_mode)
+    if const_mode:
+        kw["wc"] = asdev(wc_np)
+        kw["wm"] = asdev(wm_np)
+    return (BandedProlong(*args, **kw), BandedRestrict(*args, **kw))
 
 
 def csr_transfer(P: CSRMatrix, dtype=None, share: bool = True):

@@ -179,7 +179,14 @@ def test_banded_survives_packing():
     xe = np.zeros(nf)
     xe[np.asarray(Pref.fpos)] = xc
     yref = np.zeros(nf)
-    w = np.asarray(Pref.w)
+    if Pref.const_mode:
+        from faspsolver_tpu.ops.operators import unpack_bits_np
+        wc = np.asarray(Pref.wc)
+        wm = np.asarray(Pref.wm)
+        w = np.stack([wc[k] * unpack_bits_np(wm[k], nf)
+                      for k in range(len(Pref.shifts))])
+    else:
+        w = np.asarray(Pref.w)
     for k, s in enumerate(Pref.shifts):
         src = np.zeros(nf)                 # src[i] = xe[i + s]
         if s >= 0:
