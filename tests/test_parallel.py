@@ -200,3 +200,44 @@ def test_gspmd_dia_spmv_comm_is_neighbor_permute(mesh):
     hlo = jax.jit(lambda v: op(v)).lower(x).compile().as_text()
     assert "collective-permute" in hlo
     assert "all-gather" not in hlo
+
+
+def test_halo_places_const_compressed_levels(mesh):
+    """Constant-band-compressed levels (ConstDia / Sum operators, round 4)
+    must still ride the explicit halo path: _flat_level_bands
+    reconstructs their full bands, so the comm plan survives
+    compression."""
+    import jax.numpy as jnp
+    from faspsolver_tpu.ops.operators import (ConstDiaOperator,
+                                              SumOperator, pack_bits)
+    from faspsolver_tpu.parallel.halo import _flat_level_bands
+
+    n = 4096
+    offs = (-64, 0, 64)
+    consts = np.array([-1.0, 4.0, -1.0])
+    masks_np = []
+    bands_full = np.zeros((3, n))
+    rng = np.random.default_rng(0)
+    for k, off in enumerate(offs):
+        m = rng.random(n) < 0.8
+        lo, hi = max(0, -off), min(n, n - off)
+        valid = np.zeros(n, dtype=bool)
+        valid[lo:hi] = True
+        m &= valid
+        masks_np.append(pack_bits(m))
+        bands_full[k] = np.where(m, consts[k], 0.0)
+    cop = ConstDiaOperator(jnp.asarray(consts), jnp.asarray(
+        np.stack(masks_np)), offs, n)
+    fb = _flat_level_bands(cop)
+    assert fb is not None
+    np.testing.assert_array_equal(fb[0], bands_full)
+    assert tuple(fb[1]) == offs
+
+    extra = np.zeros((1, n))
+    extra[0, : n - 1] = rng.standard_normal(n - 1)
+    from faspsolver_tpu.ops.operators import DiaOperator
+    sop = SumOperator(parts=(cop, DiaOperator(jnp.asarray(extra), (1,),
+                                              n)))
+    fb2 = _flat_level_bands(sop)
+    assert fb2 is not None and fb2[0].shape == (4, n)
+    assert tuple(fb2[1]) == (-64, 0, 64, 1)
