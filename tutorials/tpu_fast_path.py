@@ -3,6 +3,7 @@
 This is the bench.py configuration as a tutorial — run it on a TPU to see
 the gather-free fast path; on CPU it demonstrates the same API.
 """
+import sys
 import time
 
 import numpy as np
@@ -16,7 +17,10 @@ from faspsolver_tpu.testgen import poisson_2d
 from faspsolver_tpu.utils.params import AMGParam
 from faspsolver_tpu.constants import SmootherType
 
-A = poisson_2d(511)                       # 261k dof
+# size as CLI arg: 511 (261k dof) by default; pass 127 for a quick CPU
+# smoke run, 1023 to reproduce the 1M-dof bench problem on a TPU
+NX = int(sys.argv[1]) if len(sys.argv) > 1 else 511
+A = poisson_2d(NX)
 b = A.matvec(np.ones(A.nrow))
 
 t0 = time.perf_counter()
