@@ -132,25 +132,50 @@ def _refined_factory(kind: str):
         relres: float
         converged: bool
 
-    def run(A, b):
-        op32 = device_operator(A, dtype=jnp.float32)
+    def make_inner(A, dt):
+        op = device_operator(A, dtype=dt)
         if kind == "amg":
-            M = AMGPrecond(setup_rs(A, AMGParam(), dtype=jnp.float32))
+            M = AMGPrecond(setup_rs(A, AMGParam(), dtype=dt))
         elif kind == "ilu":
             M = setup_ilu(A, ILUParam(ILU_type=int(ILUType.ILUTP),
-                                      ILU_droptol=1e-4),
-                          dtype=jnp.float32)
+                                      ILU_droptol=1e-4), dtype=dt)
         else:
             M = None
 
         def inner(r, tl):
             if kind == "cg":
-                return pcg(op32, r, M=M, tol=tl, maxit=2000,
+                return pcg(op, r, M=M, tol=tl, maxit=2000,
                            max_stag=2, max_restart=2)
-            return vgmres(op32, r, M=M, tol=tl, maxit=2000, restart=60)
+            return vgmres(op, r, M=M, tol=tl, maxit=2000, restart=60)
+        return inner
 
-        res = solve_refined(A, b, inner, tol=1e-8, max_rounds=8,
-                            dtype=jnp.float32)
+    def run(A, b):
+        import jax
+
+        res = solve_refined(A, b, make_inner(A, jnp.float32), tol=1e-8,
+                            max_rounds=8, dtype=jnp.float32)
+        if not res.converged:
+            # precision escalation: conditioning beyond the f32-inner
+            # budget (nos7-class, cond ~4e9: refinement gains <1 digit a
+            # round and stalls).  Rerun with a device f64 inner solve —
+            # XLA-emulated f64 on TPU; the reference is REAL=double
+            # throughout (fasp.h:75).  The escalated run is timed into
+            # the score: that IS the cost of this problem on this
+            # platform, not hidden behind a FAILED row.
+            print(f"  [f32 refinement stalled at relres={res.relres:.2e} "
+                  f"after {res.inner_iters} inner iters -> f64 escalation]")
+            x64_prev = jax.config.jax_enable_x64
+            jax.config.update("jax_enable_x64", True)
+            try:
+                res64 = solve_refined(A, b, make_inner(A, jnp.float64),
+                                      tol=1e-8, max_rounds=2,
+                                      inner_tol=1e-8, inner_floor=1e-9,
+                                      dtype=jnp.float64)
+            finally:
+                jax.config.update("jax_enable_x64", x64_prev)
+            return _Res(x=res64.x,
+                        iters=res.inner_iters + res64.inner_iters,
+                        relres=res64.relres, converged=res64.converged)
         return _Res(x=res.x, iters=res.inner_iters, relres=res.relres,
                     converged=res.converged)
 

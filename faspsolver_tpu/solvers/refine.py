@@ -56,12 +56,23 @@ def solve_refined(A_host, b, inner_solve: Callable,
     x = np.zeros_like(b64)
     total_inner = 0
     relres = 1.0
+    prev_relres = np.inf
     for rnd in range(max_rounds):
         r = b64 - spmv(x)
         relres = float(np.linalg.norm(r)) / bnorm
         if relres < tol:
             return RefinedResult(x=x, rounds=rnd, inner_iters=total_inner,
                                  relres=relres, converged=True)
+        # stall guard: refinement converges geometrically when it works
+        # (each round multiplies the error by the inner solve's residual
+        # reduction).  A round that gains less than 2x means the inner
+        # precision budget is exhausted (conditioning beyond ~1/eps_f32)
+        # — further rounds repeat the same stalled correction, so stop
+        # and report unconverged instead of burning max_rounds
+        if relres > 0.5 * prev_relres:
+            return RefinedResult(x=x, rounds=rnd, inner_iters=total_inner,
+                                 relres=relres, converged=False)
+        prev_relres = relres
         # scale the residual to O(1) so the f32 inner solve keeps dynamic
         # range, then scale the correction back
         scale = max(float(np.abs(r).max()), 1e-300)

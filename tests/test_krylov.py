@@ -164,3 +164,43 @@ def test_solve_refined_mixed_precision():
     assert res.rounds >= 2
     r = b - A.matvec(res.x)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+
+def test_solve_refined_stall_guard():
+    """A non-improving inner solve must stop refinement early (stall
+    guard in solvers/refine.py) instead of burning max_rounds."""
+    import types
+
+    from faspsolver_tpu.solvers import solve_refined
+    from faspsolver_tpu.testgen import poisson_2d
+
+    A = poisson_2d(16)
+    b = A.matvec(np.ones(A.nrow))
+    calls = []
+
+    def dead_inner(r, tol):
+        calls.append(1)
+        return types.SimpleNamespace(x=jnp.zeros_like(r), iters=7)
+
+    res = solve_refined(A, b, dead_inner, tol=1e-12, max_rounds=50)
+    assert not res.converged
+    assert len(calls) <= 2               # stalled after the first round
+    assert res.inner_iters == 7 * len(calls)
+
+
+def test_benchmark_precision_escalation():
+    """nos7's ~4e9 conditioning exhausts the f32-inner refinement budget;
+    the benchmark harness must escalate to a device f64 inner solve and
+    converge (benchmark/harness.py) — the reference is REAL=double
+    throughout (fasp.h:75), so a FAILED row here would be a precision
+    artifact, not a solver gap."""
+    from faspsolver_tpu.benchmark.harness import _refined_factory
+    from faspsolver_tpu.io import read_mtx
+
+    A = read_mtx("/root/reference/data/nos7.mtx")
+    b = A.matvec(np.ones(A.nrow))
+    res = _refined_factory("ilu")(A, b)
+    assert res.converged
+    assert res.relres < 1e-8
+    r = b - A.matvec(np.asarray(res.x, dtype=np.float64))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
