@@ -751,13 +751,16 @@ int64_t fasp_strength_graph(int n, const int32_t* indptr,
     int64_t snnz = 0;
     s_indptr[0] = 0;
     for (int i = 0; i < n; ++i) {
+        // row scale = largest ABSOLUTE off-diagonal (reference:
+        // strong_couplings serial branch, PreAMGCoarsenRS.c:324-384);
+        // only negative couplings can be strong (n-couplings branch)
         double row_max = 0.0, offsum = 0.0, diag = 0.0;
         for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
             const int32_t j = indices[p];
             if (j == i) { diag = data[p]; continue; }
-            const double v = data[p];
-            if (-v > row_max) row_max = -v;
-            offsum += std::fabs(v);
+            const double v = std::fabs(data[p]);
+            if (v > row_max) row_max = v;
+            offsum += v;
         }
         const bool isolated = offsum <= (1.0 - max_row_sum) * std::fabs(diag);
         if (!isolated && row_max > 0.0) {
@@ -765,7 +768,7 @@ int64_t fasp_strength_graph(int n, const int32_t* indptr,
             for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
                 const int32_t j = indices[p];
                 if (j == i) continue;
-                if (-data[p] >= cut && data[p] < 0)
+                if (-data[p] > cut)
                     s_indices[snnz++] = j;
             }
         }

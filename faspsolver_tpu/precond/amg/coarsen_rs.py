@@ -26,11 +26,16 @@ from ...formats import CSRMatrix
 def strong_couplings(A: CSRMatrix, theta: float,
                      max_row_sum: float = 0.9) -> sp.csr_matrix:
     """Strength matrix S: S[i,j]=1 iff j strongly influences i:
-    -a_ij >= theta * max_k(-a_ik), a_ij < 0 convention
-    (reference: strong_couplings, PreAMGCoarsenRS.c).
+    -a_ij > theta * max_k|a_ik| over off-diagonals
+    (reference: strong_couplings, PreAMGCoarsenRS.c:324-384 — the row
+    scale is the largest ABSOLUTE off-diagonal, so on matrices whose
+    large couplings are positive (steam2-class) the negative couplings
+    all fall below the cut and the row has no strong connections; only
+    negative entries can be strong, matching the n-couplings branch).
 
     Rows whose off-diagonal mass is negligible relative to the diagonal
-    (max_row_sum criterion) get no strong couplings (isolated).
+    (max_row_sum criterion: sum|a_ij| < (2-mrs)|a_ii|) get no strong
+    couplings (isolated).
     """
     from ... import native
     n = A.nrow
@@ -44,16 +49,16 @@ def strong_couplings(A: CSRMatrix, theta: float,
     off = m.indices != rows
     neg = np.where(off, -m.data, 0.0)         # -a_ij for off-diagonals
 
-    # per-row max of (-a_ij) / abs off-diagonal sums via segment reduceat
+    # per-row max of |a_ij| / abs off-diagonal sums via segment reduceat
     # (row-sorted CSR layout — no scattered .at updates)
     starts = m.indptr[:-1].astype(np.int64)
     nonempty = starts < m.indptr[1:]
     row_max = np.zeros(n)
     offsum = np.zeros(n)
     if m.nnz:
-        rm = np.maximum.reduceat(neg, np.minimum(starts, m.nnz - 1))
-        os_ = np.add.reduceat(np.where(off, np.abs(m.data), 0.0),
-                              np.minimum(starts, m.nnz - 1))
+        absoff = np.where(off, np.abs(m.data), 0.0)
+        rm = np.maximum.reduceat(absoff, np.minimum(starts, m.nnz - 1))
+        os_ = np.add.reduceat(absoff, np.minimum(starts, m.nnz - 1))
         row_max[nonempty] = rm[nonempty]
         offsum[nonempty] = os_[nonempty]
 
@@ -61,13 +66,33 @@ def strong_couplings(A: CSRMatrix, theta: float,
     d = np.abs(A.diagonal())
     isolated = offsum <= (1.0 - max_row_sum) * d
 
-    keep = off & (neg >= theta * np.maximum(row_max[rows], 1e-300)) \
+    keep = off & (neg > theta * np.maximum(row_max[rows], 1e-300)) \
         & (neg > 0) & (~isolated[rows])
     nk = np.count_nonzero(keep)
     counts = np.bincount(rows[keep], minlength=n)
     indptr = np.concatenate([[0], np.cumsum(counts)])
     S = sp.csr_matrix((np.ones(nk), m.indices[keep], indptr), shape=A.shape)
     return S
+
+
+def _c1_filter(S: sp.csr_matrix) -> Tuple[sp.csr_matrix, np.ndarray]:
+    """RS_C1 criterion (fasp.h:64, ON by default): a point whose strength
+    ROW is empty cannot be interpolated, so it is removed from the
+    splitting entirely — marked ISPT, and its in-edges dropped so no
+    splitting method selects it as a C point (the reference's splitting
+    skips ISPT neighbors, cfsplitting_cls, PreAMGCoarsenRS.c:577-633).
+    Returns (filtered S, empty-row mask)."""
+    empty = np.diff(S.indptr) == 0
+    if not empty.any():
+        return S, empty
+    n = S.shape[0]
+    keep = ~empty[S.indices]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(S.indptr))[keep]
+    counts = np.bincount(rows, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    S2 = sp.csr_matrix((np.ones(int(keep.sum())), S.indices[keep], indptr),
+                       shape=S.shape)
+    return S2, empty
 
 
 def cf_split_rs(A: CSRMatrix, S: sp.csr_matrix) -> np.ndarray:
@@ -287,11 +312,14 @@ def coarsen(A: CSRMatrix, theta: float = 0.25, max_row_sum: float = 0.9,
             method: str = "rs", aggressive_path: int = 2
             ) -> Tuple[np.ndarray, sp.csr_matrix]:
     """(cf_marker, strength matrix)."""
-    S = strong_couplings(A, theta, max_row_sum)
+    S, empty = _c1_filter(strong_couplings(A, theta, max_row_sum))
     if method == "pmis":
-        return cf_split_pmis(A, S), S
-    if method == "cr":
-        return cf_split_cr(A, S), S
-    if method == "aggressive":
-        return cf_split_aggressive(A, S, aggressive_path), S
-    return cf_split_rs(A, S), S
+        marker = cf_split_pmis(A, S)
+    elif method == "cr":
+        marker = cf_split_cr(A, S)
+    elif method == "aggressive":
+        marker = cf_split_aggressive(A, S, aggressive_path)
+    else:
+        marker = cf_split_rs(A, S)
+    marker[empty] = ISPT
+    return marker, S

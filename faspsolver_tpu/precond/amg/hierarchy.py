@@ -125,7 +125,7 @@ def make_coarse_solver(A_host, dtype):
             dense = A_host.to_dense()
         return CoarseSolver.from_dense(np.asarray(dense,
                                                   dtype=np.dtype(dtype)))
-    from ...ops.operators import device_operator
+    from ...ops.operators import asdev, device_operator
     if hasattr(A_host, "to_csr"):
         A_csr = A_host.to_csr()
     else:

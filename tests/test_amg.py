@@ -283,3 +283,75 @@ def test_sa_near_kernel_tentative_p(fe):
     assert bool(res.converged)
     assert int(res.iters) <= 68          # SA golden regime (45)
     assert np.max(np.abs(np.asarray(res.x) - sol)) < 1e-4
+
+
+def test_strength_scale_is_absolute_max():
+    """Reference semantics (strong_couplings, PreAMGCoarsenRS.c:324-384):
+    the row scale is the largest ABSOLUTE off-diagonal, so a negative
+    coupling that is small next to a large positive one is weak."""
+    import scipy.sparse as sp
+
+    from faspsolver_tpu.formats import CSRMatrix
+    from faspsolver_tpu.precond.amg.coarsen_rs import strong_couplings
+
+    # row 0: offdiags -0.2 and +1.0 -> cut = 0.3*1.0 -> -(-0.2)=0.2 weak
+    dense = np.array([[2.0, -0.2, 1.0],
+                      [-0.2, 2.0, -1.0],
+                      [1.0, -1.0, 2.0]])
+    A = CSRMatrix.from_scipy(sp.csr_matrix(dense))
+    S = strong_couplings(A, theta=0.3)
+    assert S[0].nnz == 0                 # both couplings weak for row 0
+    assert S[1, 2] == 1                  # -1.0 > 0.3*1.0 strong
+    assert S[2, 1] == 1
+    # native and NumPy twins agree
+    import faspsolver_tpu.native as native
+    orig = native.strength_graph
+    native.strength_graph = lambda *a, **k: None
+    try:
+        S_py = strong_couplings(A, theta=0.3)
+    finally:
+        native.strength_graph = orig
+    assert (S != S_py).nnz == 0
+
+
+def test_steam2_amg_degrades_to_exact_coarse_solve():
+    """steam2 (all-negative diagonal, dominant positive couplings) has an
+    (almost) empty strength graph under the reference's abs-max row scale;
+    RS_C1 removes empty-strength rows from the splitting, coarsening finds
+    no C variables, and setup gracefully keeps a single level whose coarse
+    solver is exact — the reference's own regression passes the same way
+    (test/out/reg_mm.out: 'Classical AMG setup costs 0.0001 seconds',
+    2 iters to 3.4e-16)."""
+    import jax.numpy as jnp
+
+    from faspsolver_tpu.io import read_mtx
+    from faspsolver_tpu.precond.amg import setup_rs
+    from faspsolver_tpu.precond.amg.solve import amg_solve
+    from faspsolver_tpu.utils.params import AMGParam
+
+    A = read_mtx("/root/reference/data/steam2.mtx")
+    x_exact = np.ones(A.nrow)
+    b = A.matvec(x_exact)
+    hier = setup_rs(A, AMGParam(maxit=20, tol=1e-10))
+    assert hier.num_levels == 1
+    res = amg_solve(hier, jnp.asarray(b), tol=1e-10, maxit=20)
+    assert np.abs(np.asarray(res.x) - x_exact).max() < 1e-4
+
+
+def test_c1_filter_drops_in_edges_of_empty_rows():
+    """RS_C1 (fasp.h:64): a point with an empty strength row is ISPT and
+    must not be selected as a C point — its in-edges are dropped before
+    splitting (the reference's splitting skips ISPT neighbors)."""
+    import scipy.sparse as sp
+
+    from faspsolver_tpu.constants import CGPT, ISPT
+    from faspsolver_tpu.precond.amg.coarsen_rs import _c1_filter
+
+    # point 2 has an empty row but many in-edges
+    S = sp.csr_matrix(np.array([[0, 1, 1],
+                                [1, 0, 1],
+                                [0, 0, 0]], dtype=float))
+    S2, empty = _c1_filter(S)
+    assert list(empty) == [False, False, True]
+    assert S2[:, 2].nnz == 0             # in-edges to point 2 dropped
+    assert S2[0, 1] == 1 and S2[1, 0] == 1
