@@ -162,8 +162,9 @@ def _refined_factory(kind: str):
             # throughout (fasp.h:75).  The escalated run is timed into
             # the score: that IS the cost of this problem on this
             # platform, not hidden behind a FAILED row.
-            print(f"  [f32 refinement stalled at relres={res.relres:.2e} "
-                  f"after {res.inner_iters} inner iters -> f64 escalation]")
+            print(f"  [f32 refinement unconverged at relres={res.relres:.2e} "
+                  f"({res.rounds} rounds, {res.inner_iters} inner iters) "
+                  f"-> f64 escalation]")
             x64_prev = jax.config.jax_enable_x64
             jax.config.update("jax_enable_x64", True)
             try:

@@ -30,13 +30,21 @@ def gcr(A, b, x0=None, M=None, *, tol=1e-6, abstol=1e-18, maxit=500,
 
 
 def gcg(A, b, x0=None, M=None, *, tol=1e-6, abstol=1e-18, maxit=500,
-        restart=25, stop_type=int(StopType.REL_RES)) -> SolveResult:
+        restart=None, stop_type=int(StopType.REL_RES)) -> SolveResult:
     """Generalized CG (reference: fasp_solver_dcsr_pgcg, KryPgcg.c).
 
-    Implemented as the same restarted minimal-residual descent engine as
-    GCR over the preconditioned residual directions; for SPD systems the
-    two coincide in exact arithmetic.
+    The reference stores ALL MaxIt direction vectors (KryPgcg.c:70
+    allocates MaxIt*m — full-memory descent, no restart; its itparam
+    restart is ignored), so the default window here is the full maxit,
+    capped at 1024 directions to bound device memory (2*R*n values; pass
+    ``restart`` explicitly for a smaller window).  Implemented as the
+    same minimal-residual descent engine as GCR over the preconditioned
+    residual directions; for SPD systems full-memory GCG coincides with
+    CG in exact arithmetic (reference FE golden: GCG 243 vs CG 244
+    iterations, test/out/reg.out).
     """
+    if restart is None:
+        restart = min(int(maxit), 1024)
     return gcr(A, b, x0, M, tol=tol, abstol=abstol, maxit=maxit,
                restart=restart, stop_type=stop_type)
 

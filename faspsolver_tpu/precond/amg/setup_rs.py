@@ -117,14 +117,14 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
             break
         if nc < 2:                              # too aggressive
             break
-        # Check 3 (PreAMGSetupRS.c:186): one step coarsening by more than
-        # 10x means the strength graph barely connects the grid — discard
-        # the level and stop (the kept hierarchy degrades gracefully to
-        # its coarse solver, matching the reference's break).  Aggressive
-        # coarsening is exempt: it targets large ratios by design (two RS
-        # passes per level), where the reference reaches the same ratio
-        # through two separate guarded levels.
-        if lvl_method != "aggressive" and cur.nrow > 10 * nc:
+        # Check 3 (PreAMGSetupRS.c:183-196): one step coarsening by more
+        # than 10x means the strength graph barely connects the grid —
+        # discard the level and stop (the kept hierarchy degrades
+        # gracefully to its coarse solver, matching the reference's
+        # break).  Applies to aggressive coarsening too: the reference's
+        # COARSE_AC two-pass split happens in ONE coarsening call and
+        # goes through the same unconditional check.
+        if cur.nrow > 10 * nc:
             break
         t0 = _time.perf_counter()
         P = interpolate(cur, marker, S,

@@ -202,8 +202,9 @@ def core_configs() -> List[Tuple[str, Callable]]:
                        restart=60, tol=1e-13, maxit=4000),
         _krylov_config("GCR + diag", gcr, JacobiPrecond.from_csr,
                        restart=60, tol=1e-13, maxit=4000),
+        # reference pgcg ignores restart (full-memory, KryPgcg.c:70)
         _krylov_config("GCG + diag", gcg, JacobiPrecond.from_csr,
-                       restart=60, tol=1e-13, maxit=4000),
+                       tol=1e-13, maxit=4000),
         # --- Krylov + AMG (regression.c:402-640) ---
         _krylov_config("CG + AMG(direct)", pcg, _amg_precond(
             smoother=GS, interpolation_type=int(InterpType.DIRECT))),
@@ -235,8 +236,7 @@ def core_configs() -> List[Tuple[str, Callable]]:
         _bsr_krylov_config("vFGMRES (BSR)", vfgmres, restart=60, tol=1e-13,
                            maxit=4000),
         # --- AMG-preconditioned GCG / GCR (regression.c:767-800) ---
-        _krylov_config("GCG + AMG", gcg, _amg_precond(smoother=GS),
-                       restart=30),
+        _krylov_config("GCG + AMG", gcg, _amg_precond(smoother=GS)),
         _krylov_config("GCR + AMG", gcr, _amg_precond(smoother=GS),
                        restart=30),
         # --- Krylov + ILU (regression.c:642-780, 802-850) ---
@@ -316,7 +316,7 @@ def mm_configs() -> List[Tuple[str, Callable]]:
         ("MinRes", minres, {}), ("GMRES", gmres, {"restart": 25}),
         ("vGMRES", vgmres, {"restart": 25}),
         ("vFGMRES", vfgmres, {"restart": 25}),
-        ("GCG", gcg, {"restart": 25}), ("GCR", gcr, {"restart": 25}),
+        ("GCG", gcg, {}), ("GCR", gcr, {"restart": 25}),
     ]
     fams = [
         ("", lambda A: None),
@@ -505,7 +505,7 @@ def matfree_configs() -> List[Tuple[str, Callable]]:
             mk("matfree MinRes", minres),
             mk("matfree GMRES", gmres, restart=60),
             mk("matfree vFGMRES", vfgmres, restart=60),
-            mk("matfree GCG", gcg, restart=60)]
+            mk("matfree GCG", gcg)]
 
 
 def run_matrix(configs, problems) -> List[RegResult]:

@@ -77,8 +77,10 @@ def itsolver(A, b, x0=None, M=None, its: Optional[ITSParam] = None
               stop_type=its.stop_type)
     if stype in _KRYLOV:
         fn = _KRYLOV[stype]
-        if fn in (gmres, vgmres, vfgmres, gcg, gcr):
+        if fn in (gmres, vgmres, vfgmres, gcr):
             kw["restart"] = its.restart
+        # gcg: the reference's pgcg ignores itparam restart (full-memory
+        # method, KryPgcg.c:70) — let gcg's own full-window default apply
         return fn(op, b, x0=x0, M=M, **kw)
     if stype in _SAFE:
         if stype in _SAFE_RESTARTED:

@@ -57,21 +57,28 @@ def solve_refined(A_host, b, inner_solve: Callable,
     total_inner = 0
     relres = 1.0
     prev_relres = np.inf
+    best_x, best_relres = x, np.inf
     for rnd in range(max_rounds):
         r = b64 - spmv(x)
         relres = float(np.linalg.norm(r)) / bnorm
+        if relres < best_relres:
+            best_x, best_relres = x, relres
         if relres < tol:
             return RefinedResult(x=x, rounds=rnd, inner_iters=total_inner,
                                  relres=relres, converged=True)
         # stall guard: refinement converges geometrically when it works
         # (each round multiplies the error by the inner solve's residual
-        # reduction).  A round that gains less than 2x means the inner
-        # precision budget is exhausted (conditioning beyond ~1/eps_f32)
-        # — further rounds repeat the same stalled correction, so stop
-        # and report unconverged instead of burning max_rounds
-        if relres > 0.5 * prev_relres:
-            return RefinedResult(x=x, rounds=rnd, inner_iters=total_inner,
-                                 relres=relres, converged=False)
+        # reduction).  A round that gains less than 2x while still more
+        # than 10x away from tol means the inner precision budget is
+        # exhausted (conditioning beyond ~1/eps_f32) — further rounds
+        # repeat the same stalled correction, so stop early and return
+        # the BEST iterate seen (a diverged inner correction must not be
+        # handed back).  Within 10x of tol the remaining rounds are
+        # allowed to crawl across the finish line.
+        if relres > 0.5 * prev_relres and relres > 10 * tol:
+            return RefinedResult(x=best_x, rounds=rnd,
+                                 inner_iters=total_inner,
+                                 relres=best_relres, converged=False)
         prev_relres = relres
         # scale the residual to O(1) so the f32 inner solve keeps dynamic
         # range, then scale the correction back
@@ -82,6 +89,8 @@ def solve_refined(A_host, b, inner_solve: Callable,
         x = x + scale * np.asarray(res.x, dtype=np.float64)
     r = b64 - spmv(x)
     relres = float(np.linalg.norm(r)) / bnorm
+    if relres > best_relres:               # last round made things worse
+        x, relres = best_x, best_relres
     return RefinedResult(x=x, rounds=max_rounds, inner_iters=total_inner,
                          relres=relres, converged=relres < tol)
 
