@@ -162,10 +162,19 @@ def _refined_factory(kind: str):
             # throughout (fasp.h:75).  The escalated run is timed into
             # the score: that IS the cost of this problem on this
             # platform, not hidden behind a FAILED row.
-            print(f"  [f32 refinement unconverged at relres={res.relres:.2e} "
-                  f"({res.rounds} rounds, {res.inner_iters} inner iters) "
-                  f"-> f64 escalation]")
+            if not getattr(run, "_esc_announced", False):
+                # announce once per problem: the warm and timed runs
+                # both escalate, and duplicate banners read as two
+                # failures in the recordings (ADVICE r4)
+                print(f"  [f32 refinement unconverged at "
+                      f"relres={res.relres:.2e} ({res.rounds} rounds, "
+                      f"{res.inner_iters} inner iters) -> f64 escalation]")
+                run._esc_announced = True
             x64_prev = jax.config.jax_enable_x64
+            # CAUTION: the global x64 flip below changes dtype promotion
+            # for ANY tracing that happens inside this window; the inner
+            # make_inner(A, jnp.float64) closures are traced here by
+            # design, and nothing else may trace concurrently (ADVICE r4)
             jax.config.update("jax_enable_x64", True)
             try:
                 res64 = solve_refined(A, b, make_inner(A, jnp.float64),

@@ -103,6 +103,14 @@ class SmootherType(enum.IntEnum):
     RBGS = 14           # exact red-black GS via parity masks (structured
                         # path; reference: ItrSmootherRBGS.inl / PreGMG.inl
                         # gs2d_2color — the only natively-parallel GS there)
+    # reservoir-simulator smoother ids (reference: fasp_const.h:204-208).
+    # The reference only PARSES these in-tree (AuxInput.c:652-658) — the
+    # implementations live in its closed reservoir apps — so here they
+    # are accepted for ini compatibility and mapped to GS with a warning.
+    BLKOIL = 21
+    SPETEN = 22
+    CPRGS = 23
+    CPTRGS = 24
 
 
 class CoarseningType(enum.IntEnum):

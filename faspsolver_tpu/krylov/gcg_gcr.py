@@ -11,6 +11,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import StopType
 from .common import SMALLREAL, initial_norms, residual_norms, resolve_precond
@@ -36,15 +37,20 @@ def gcg(A, b, x0=None, M=None, *, tol=1e-6, abstol=1e-18, maxit=500,
     The reference stores ALL MaxIt direction vectors (KryPgcg.c:70
     allocates MaxIt*m — full-memory descent, no restart; its itparam
     restart is ignored), so the default window here is the full maxit,
-    capped at 1024 directions to bound device memory (2*R*n values; pass
-    ``restart`` explicitly for a smaller window).  Implemented as the
+    capped so the two (R, n) direction buffers stay under a ~2 GB
+    device-memory budget (the direction count alone does not bound
+    bytes: maxit=500 at 10M dof would be 80 GB — ADVICE r4).  Pass
+    ``restart`` explicitly for a smaller window.  Implemented as the
     same minimal-residual descent engine as GCR over the preconditioned
     residual directions; for SPD systems full-memory GCG coincides with
     CG in exact arithmetic (reference FE golden: GCG 243 vs CG 244
     iterations, test/out/reg.out).
     """
     if restart is None:
-        restart = min(int(maxit), 1024)
+        budget = 2 << 30                   # bytes across P and Q buffers
+        per_dir = 2 * b.shape[0] * np.dtype(
+            getattr(b, "dtype", np.float64)).itemsize
+        restart = max(8, min(int(maxit), 1024, budget // max(per_dir, 1)))
     return gcr(A, b, x0, M, tol=tol, abstol=abstol, maxit=maxit,
                restart=restart, stop_type=stop_type)
 

@@ -163,6 +163,22 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fasp_dia_fill_f32.argtypes = [ctypes.c_int64, _i64p, _i64p,
                                           _f64p, ctypes.c_int64, _i64p,
                                           _f32p]
+        lib.fasp_agg_strength.restype = ctypes.c_int64
+        lib.fasp_agg_strength.argtypes = [ctypes.c_int, _i32p, _i32p,
+                                          _i32p, ctypes.c_int, _i32p,
+                                          _i32p, ctypes.c_int64]
+        lib.fasp_dia_hist.restype = None
+        lib.fasp_dia_hist.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p]
+        lib.fasp_dia_split_f32.restype = ctypes.c_int64
+        lib.fasp_dia_split_f32.argtypes = [ctypes.c_int64, _i64p, _i64p,
+                                           _f64p, ctypes.c_int64, _i64p,
+                                           _f32p, _i32p, _i32p, _f32p,
+                                           ctypes.c_int64]
+        lib.fasp_dia_split_f64.restype = ctypes.c_int64
+        lib.fasp_dia_split_f64.argtypes = [ctypes.c_int64, _i64p, _i64p,
+                                           _f64p, ctypes.c_int64, _i64p,
+                                           _f64p, _i32p, _i32p, _f64p,
+                                           ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -207,6 +223,53 @@ def dia_from_csr(A, max_k: int = 128,
     else:
         return None
     return offs, bands
+
+
+def dia_hist(A) -> Optional[np.ndarray]:
+    """Histogram of diagonal offsets: returns (2n+1,) int64 counts with
+    hist[off + n] = #entries on diagonal ``off``, or None without the
+    native library.  OpenMP twin of the np.bincount pass in
+    ops.operators.best_operator."""
+    lib = _load()
+    if lib is None or A.data.dtype != np.float64 or A.nrow != A.ncol \
+            or A.nrow == 0:
+        return None
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+    hist = np.zeros(2 * A.nrow + 1, dtype=np.int64)
+    lib.fasp_dia_hist(A.nrow, indptr, indices, hist)
+    return hist
+
+
+def dia_split(A, keep_offs: np.ndarray, dtype, nrem: int,
+              rem_pad: int) -> Optional[tuple]:
+    """Split CSR into row-aligned bands over ``keep_offs`` (ascending)
+    plus a COO remainder (CSR order, padded to ``rem_pad`` with
+    row=n / col=0 / val=0).  Returns (bands, rem_rows, rem_cols,
+    rem_vals) or None without the native library."""
+    lib = _load()
+    dtype = np.dtype(dtype)
+    if lib is None or A.data.dtype != np.float64 \
+            or dtype not in (np.float32, np.float64):
+        return None
+    n = A.nrow
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    keep_offs = np.ascontiguousarray(keep_offs, dtype=np.int64)
+    k = len(keep_offs)
+    bands = np.zeros((k, n), dtype=dtype)
+    pad = max(int(rem_pad), 1)
+    rem_rows = np.full(pad, n, dtype=np.int32)
+    rem_cols = np.zeros(pad, dtype=np.int32)
+    rem_vals = np.zeros(pad, dtype=dtype)
+    fn = lib.fasp_dia_split_f32 if dtype == np.float32 \
+        else lib.fasp_dia_split_f64
+    got = int(fn(n, indptr, indices, data, k, keep_offs, bands,
+                 rem_rows, rem_cols, rem_vals, pad))
+    if got != nrem:
+        return None
+    return bands, rem_rows, rem_cols, rem_vals
 
 
 def rap(R, A, P):
@@ -438,6 +501,32 @@ def strength_graph(A, theta: float, max_row_sum: float):
                                    float(theta), float(max_row_sum),
                                    s_indptr, s_indices)
     return s_indptr, s_indices[:snnz]
+
+
+def agg_strength(s_indptr, s_indices, n: int, cf: np.ndarray,
+                 path: int, num_c: int
+                 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Strength graph Sh between temporary C points for aggressive
+    coarsening (reference: strong_couplings_agg1/agg2,
+    PreAMGCoarsenRS.c): direct S edge or >= ``path`` distinct 2-hop
+    paths through F points.  Returns (sh_indptr, sh_indices) over
+    coarse indices, or None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    sp_ = np.ascontiguousarray(s_indptr, dtype=np.int32)
+    si_ = np.ascontiguousarray(s_indices, dtype=np.int32)
+    cf_ = np.ascontiguousarray(cf, dtype=np.int32)
+    shp = np.zeros(num_c + 1, dtype=np.int32)
+    cap = max(int(si_.size) * 4 + 16 * num_c, 1 << 12)
+    for _ in range(3):
+        shi = np.empty(cap, dtype=np.int32)
+        nnz = int(lib.fasp_agg_strength(n, sp_, si_, cf_, path, shp,
+                                        shi, cap))
+        if nnz >= 0:
+            return shp, shi[:nnz].copy()
+        cap *= 4
+    return None
 
 
 def rs_cf_split2(s_indptr, s_indices, n: int) -> Optional[np.ndarray]:

@@ -752,3 +752,85 @@ extern "C" int64_t fasp_rap(int64_t nc,
     }
     return nnz;
 }
+
+// ---------------------------------------------------------------------------
+// Adaptive-format support: offset histogram + band/remainder split.  These
+// replace the NumPy middle of ops/operators.py best_operator — at 7M nnz
+// the np.repeat + fancy scatter path costs ~1-2 s of the general AMG
+// setup ("format" phase); here it is two parallel passes over nnz.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Histogram of diagonal offsets: hist must hold 2n+1 zeroed int64 slots
+// (hist[off + n] = count of entries on diagonal `off`).
+void fasp_dia_hist(int64_t n, const int64_t* indptr, const int64_t* indices,
+                   int64_t* hist) {
+#pragma omp parallel
+    {
+        std::vector<int64_t> local(2 * (size_t)n + 1, 0);
+#pragma omp for schedule(static)
+        for (int64_t i = 0; i < n; ++i)
+            for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j)
+                ++local[indices[j] - i + n];
+#pragma omp critical
+        {
+            for (int64_t o = 0; o <= 2 * n; ++o)
+                if (local[o]) hist[o] += local[o];
+        }
+    }
+}
+
+// Split a CSR matrix into row-aligned bands over `k` selected offsets
+// (ascending) plus a COO remainder in CSR order.  bands must be zeroed
+// (k, n); rem_* must hold at least ``cap`` entries.  Returns the
+// remainder count, or -1 if it would exceed cap (nothing written).
+#define DIA_SPLIT_BODY(T)                                                   \
+    std::vector<int32_t> slot(2 * (size_t)n + 1, -1);                       \
+    for (int64_t s = 0; s < k; ++s) slot[offsets[s] + n] = (int32_t)s;      \
+    std::vector<int64_t> rowrem((size_t)n + 1, 0);                          \
+    _Pragma("omp parallel for schedule(static)")                            \
+    for (int64_t i = 0; i < n; ++i) {                                       \
+        int64_t c = 0;                                                      \
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j)                 \
+            if (slot[indices[j] - i + n] < 0) ++c;                          \
+        rowrem[i + 1] = c;                                                  \
+    }                                                                       \
+    for (int64_t i = 0; i < n; ++i) rowrem[i + 1] += rowrem[i];             \
+    if (rowrem[n] > cap) return -1;                                         \
+    _Pragma("omp parallel for schedule(static)")                            \
+    for (int64_t i = 0; i < n; ++i) {                                       \
+        int64_t w = rowrem[i];                                              \
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {               \
+            const int32_t s = slot[indices[j] - i + n];                     \
+            if (s >= 0) {                                                   \
+                bands[(int64_t)s * n + i] = (T)data[j];                     \
+            } else {                                                        \
+                rem_rows[w] = (int32_t)i;                                   \
+                rem_cols[w] = (int32_t)indices[j];                          \
+                rem_vals[w] = (T)data[j];                                   \
+                ++w;                                                        \
+            }                                                               \
+        }                                                                   \
+    }                                                                       \
+    return rowrem[n];
+
+int64_t fasp_dia_split_f32(int64_t n, const int64_t* indptr,
+                           const int64_t* indices, const double* data,
+                           int64_t k, const int64_t* offsets, float* bands,
+                           int32_t* rem_rows, int32_t* rem_cols,
+                           float* rem_vals, int64_t cap) {
+    DIA_SPLIT_BODY(float)
+}
+
+int64_t fasp_dia_split_f64(int64_t n, const int64_t* indptr,
+                           const int64_t* indices, const double* data,
+                           int64_t k, const int64_t* offsets, double* bands,
+                           int32_t* rem_rows, int32_t* rem_cols,
+                           double* rem_vals, int64_t cap) {
+    DIA_SPLIT_BODY(double)
+}
+
+#undef DIA_SPLIT_BODY
+
+}  // extern "C"

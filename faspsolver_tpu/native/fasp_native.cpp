@@ -14,6 +14,9 @@
 
 #include <algorithm>
 #include <cmath>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -748,12 +751,13 @@ int64_t fasp_strength_graph(int n, const int32_t* indptr,
                             const int32_t* indices, const double* data,
                             double theta, double max_row_sum,
                             int32_t* s_indptr, int32_t* s_indices) {
-    int64_t snnz = 0;
-    s_indptr[0] = 0;
+    // two-pass (count/scan/fill) so rows parallelize; per-row semantics
+    // identical to the serial loop: row scale = largest ABSOLUTE
+    // off-diagonal (reference: strong_couplings serial branch,
+    // PreAMGCoarsenRS.c:324-384); only negative couplings can be strong.
+    std::vector<int32_t> cnt((size_t)n, 0);
+#pragma omp parallel for schedule(static)
     for (int i = 0; i < n; ++i) {
-        // row scale = largest ABSOLUTE off-diagonal (reference:
-        // strong_couplings serial branch, PreAMGCoarsenRS.c:324-384);
-        // only negative couplings can be strong (n-couplings branch)
         double row_max = 0.0, offsum = 0.0, diag = 0.0;
         for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
             const int32_t j = indices[p];
@@ -762,19 +766,36 @@ int64_t fasp_strength_graph(int n, const int32_t* indptr,
             if (v > row_max) row_max = v;
             offsum += v;
         }
-        const bool isolated = offsum <= (1.0 - max_row_sum) * std::fabs(diag);
+        // strict <, matching the reference's row_sum < (2-mrs)*|a_ii|
+        // with row_sum including the diagonal (ADVICE r4)
+        const bool isolated = offsum < (1.0 - max_row_sum) * std::fabs(diag);
+        int32_t c = 0;
         if (!isolated && row_max > 0.0) {
             const double cut = std::max(theta * row_max, 1e-300);
-            for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
-                const int32_t j = indices[p];
-                if (j == i) continue;
-                if (-data[p] > cut)
-                    s_indices[snnz++] = j;
-            }
+            for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+                if (indices[p] != i && -data[p] > cut) ++c;
         }
-        s_indptr[i + 1] = (int32_t)snnz;
+        cnt[i] = c;
     }
-    return snnz;
+    s_indptr[0] = 0;
+    for (int i = 0; i < n; ++i)
+        s_indptr[i + 1] = s_indptr[i] + cnt[i];
+#pragma omp parallel for schedule(static)
+    for (int i = 0; i < n; ++i) {
+        if (cnt[i] == 0) continue;
+        double row_max = 0.0;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            if (indices[p] == i) continue;
+            const double v = std::fabs(data[p]);
+            if (v > row_max) row_max = v;
+        }
+        const double cut = std::max(theta * row_max, 1e-300);
+        int32_t at = s_indptr[i];
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+            if (indices[p] != i && -data[p] > cut)
+                s_indices[at++] = indices[p];
+    }
+    return (int64_t)s_indptr[n];
 }
 
 // ---------------------------------------------------------------------------
@@ -921,20 +942,44 @@ int fasp_interp_std(int n, const int32_t* indptr, const int32_t* indices,
     for (int i = 0; i < n; ++i)
         if (cf[i] == 1) cidx[i] = nc++;
 
-    std::vector<double> w(n, 0.0);       // accumulator row a_hat
-    std::vector<int32_t> pos(n, -1);     // position stamp: touched marker
-    std::vector<int32_t> touched;        // touched columns, append order
-    std::vector<int8_t> strong(n, 0);    // strong-neighbour flag for row i
-    touched.reserve(64);
+    // rows are independent: OpenMP over contiguous row chunks with
+    // per-thread workspaces + output vectors, stitched in row order (the
+    // same fan-out/stitch shape as fasp_rap) — output is byte-identical
+    // to the serial loop.
+#ifdef _OPENMP
+    int nt = omp_get_max_threads();
+    if (nt > 8) nt = 8;
+    if (n < 4096) nt = 1;
+#else
+    const int nt = 1;
+#endif
+    std::vector<std::vector<int32_t>> tr(nt), tc(nt);
+    std::vector<std::vector<double>> tv(nt);
+    std::vector<int> lo(nt + 1);
+    for (int t = 0; t <= nt; ++t)
+        lo[t] = (int)((int64_t)n * t / nt);
 
-    int64_t nnz = 0;
-    for (int i = 0; i < n; ++i) {
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        std::vector<double> w(n, 0.0);       // accumulator row a_hat
+        std::vector<int32_t> pos(n, -1);     // position stamp
+        std::vector<int32_t> touched;        // touched columns, append order
+        std::vector<int8_t> strong(n, 0);    // strong-neighbour flag
+        touched.reserve(64);
+        std::vector<int32_t>& out_r = tr[t];
+        std::vector<int32_t>& out_c = tc[t];
+        std::vector<double>& out_v = tv[t];
+
+    for (int i = lo[t]; i < lo[t + 1]; ++i) {
         if (cf[i] == 1) {
-            if (nnz >= cap) return -1;
-            p_rows[nnz] = i;
-            p_cols[nnz] = cidx[i];
-            p_vals[nnz] = 1.0;
-            ++nnz;
+            out_r.push_back(i);
+            out_c.push_back(cidx[i]);
+            out_v.push_back(1.0);
             continue;
         }
         if (cf[i] == 2) continue;        // isolated: no interpolation row
@@ -970,11 +1015,9 @@ int fasp_interp_std(int n, const int32_t* indptr, const int32_t* indices,
                 const double coef = (v < 0) ? alpha : beta;
                 const double pv = -coef * v / aii;
                 if (pv == 0.0) continue;
-                if (nnz >= cap) return -1;
-                p_rows[nnz] = i;
-                p_cols[nnz] = cidx[j];
-                p_vals[nnz] = pv;
-                ++nnz;
+                out_r.push_back(i);
+                out_c.push_back(cidx[j]);
+                out_v.push_back(pv);
             }
             for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p)
                 strong[s_indices[p]] = 0;
@@ -995,8 +1038,8 @@ int fasp_interp_std(int n, const int32_t* indptr, const int32_t* indices,
         // (iterate a snapshot: Python twin iterates list(acc.keys()) which
         // at that point is exactly row i's columns)
         const size_t row_cols = touched.size();
-        for (size_t t = 0; t < row_cols; ++t) {
-            const int32_t j = touched[t];
+        for (size_t tt = 0; tt < row_cols; ++tt) {
+            const int32_t j = touched[tt];
             if (j == i || cf[j] != 0 || !strong[j]) continue;
             const double aij = w[j];
             w[j] = 0.0;                 // pop
@@ -1058,11 +1101,9 @@ int fasp_interp_std(int n, const int32_t* indptr, const int32_t* indices,
                 const double coef = (v < 0) ? alpha : beta;
                 const double pv = -coef * v / aii;
                 if (pv != 0.0) {
-                    if (nnz >= cap) return -1;
-                    p_rows[nnz] = i;
-                    p_cols[nnz] = cidx[j];
-                    p_vals[nnz] = pv;
-                    ++nnz;
+                    out_r.push_back(i);
+                    out_c.push_back(cidx[j]);
+                    out_v.push_back(pv);
                 }
             }
         }
@@ -1071,6 +1112,18 @@ int fasp_interp_std(int n, const int32_t* indptr, const int32_t* indices,
         for (const int32_t j : touched) { w[j] = 0.0; pos[j] = -1; }
         for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p)
             strong[s_indices[p]] = 0;
+    }
+    }  // omp parallel
+
+    int64_t nnz = 0;
+    for (int t = 0; t < nt; ++t) nnz += (int64_t)tr[t].size();
+    if (nnz > cap) return -1;
+    int64_t at = 0;
+    for (int t = 0; t < nt; ++t) {
+        std::memcpy(p_rows + at, tr[t].data(), tr[t].size() * sizeof(int32_t));
+        std::memcpy(p_cols + at, tc[t].data(), tc[t].size() * sizeof(int32_t));
+        std::memcpy(p_vals + at, tv[t].data(), tv[t].size() * sizeof(double));
+        at += (int64_t)tr[t].size();
     }
     return (int)nnz;
 }
@@ -1279,3 +1332,94 @@ int fasp_nsympair_match(int n, const int32_t* indptr, const int32_t* indices,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Aggressive-coarsening strength between temporary C points (reference:
+// strong_couplings_agg1/agg2, PreAMGCoarsenRS.c): Sh(ci,cj) = 1 iff C point
+// i is S-connected to C point j directly, or through >= `path` distinct
+// 2-hop paths via F points (agg2: the visited-stamp double-mark trick).
+// Output CSR over coarse indices (cp order = ascending fine index).
+// Returns nnz(Sh), or -1 if cap exceeded.
+// ---------------------------------------------------------------------------
+extern "C" int64_t fasp_agg_strength(int n, const int32_t* s_indptr,
+                                     const int32_t* s_indices,
+                                     const int32_t* cf, int path,
+                                     int32_t* sh_indptr,
+                                     int32_t* sh_indices, int64_t cap) {
+    // coarse index maps
+    std::vector<int32_t> cp_index, cp_rindex(n, -1);
+    for (int i = 0; i < n; ++i)
+        if (cf[i] == 1) {
+            cp_rindex[i] = (int32_t)cp_index.size();
+            cp_index.push_back(i);
+        }
+    const int num_c = (int)cp_index.size();
+
+#ifdef _OPENMP
+    int nt = omp_get_max_threads();
+    if (nt > 8) nt = 8;
+    if (num_c < 4096) nt = 1;
+#else
+    const int nt = 1;
+#endif
+    std::vector<std::vector<int32_t>> tcols(nt);
+    std::vector<int> lo(nt + 1);
+    for (int t = 0; t <= nt; ++t)
+        lo[t] = (int)((int64_t)num_c * t / nt);
+    std::vector<int64_t> tstart(nt + 1, 0);
+
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+        const int t = omp_get_thread_num();
+#else
+        const int t = 0;
+#endif
+        // visited[cj] stamps: ci+1 = connected, -(ci+1) = one 2-path seen
+        std::vector<int64_t> visited(num_c, 0);
+        std::vector<int32_t>& out = tcols[t];
+        for (int ci = lo[t]; ci < lo[t + 1]; ++ci) {
+            const int i = cp_index[ci];
+            const size_t row_start = out.size();
+            for (int32_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+                const int32_t fj = s_indices[p];
+                if (cf[fj] == 1 && fj != i) {
+                    const int32_t cj = cp_rindex[fj];
+                    if (visited[cj] != ci + 1) {
+                        visited[cj] = ci + 1;
+                        out.push_back(cj);
+                    }
+                } else if (cf[fj] == 0) {
+                    for (int32_t q = s_indptr[fj]; q < s_indptr[fj + 1];
+                         ++q) {
+                        const int32_t ck = s_indices[q];
+                        if (cf[ck] != 1 || ck == i) continue;
+                        const int32_t cck = cp_rindex[ck];
+                        if (visited[cck] == ci + 1) continue;
+                        if (path < 2 || visited[cck] == -(int64_t)(ci + 1)) {
+                            visited[cck] = ci + 1;
+                            out.push_back(cck);
+                        } else {
+                            visited[cck] = -(int64_t)(ci + 1);
+                        }
+                    }
+                }
+            }
+            // per-row counts ride in sh_indptr (prefix-summed below)
+            sh_indptr[ci + 1] = (int32_t)(out.size() - row_start);
+        }
+    }
+    sh_indptr[0] = 0;
+    int64_t nnz = 0;
+    for (int t = 0; t < nt; ++t) {
+        tstart[t] = nnz;
+        nnz += (int64_t)tcols[t].size();
+    }
+    if (nnz > cap) return -1;
+    for (int ci = 0; ci < num_c; ++ci)
+        sh_indptr[ci + 1] += sh_indptr[ci];
+    for (int t = 0; t < nt; ++t)
+        std::memcpy(sh_indices + tstart[t], tcols[t].data(),
+                    tcols[t].size() * sizeof(int32_t));
+    return nnz;
+}

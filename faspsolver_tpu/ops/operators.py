@@ -864,7 +864,13 @@ class HybridDiaOperator:
         return self.dia(x) + self.rem(x)
 
     def diagonal(self) -> jax.Array:
-        return self.dia.diagonal()
+        # the COO remainder can carry main-diagonal entries (demoted
+        # boundary rows of near-constant bands) — fold them in
+        d = self.dia.diagonal()
+        on = self.rem.rows == self.rem.cols
+        contrib = jnp.where(on, self.rem.vals, 0).astype(d.dtype)
+        return d + jax.ops.segment_sum(
+            contrib, self.rem.rows, num_segments=self.n + 1)[: self.n]
 
 
 def best_operator(A: CSRMatrix, dtype=None, max_bands: int = 64,
@@ -882,11 +888,15 @@ def best_operator(A: CSRMatrix, dtype=None, max_bands: int = 64,
         return device_operator(A, dtype=dtype)
     if n <= 256:
         return DenseOperator.from_csr(A, dtype=dtype)
-    rows = np.repeat(np.arange(n, dtype=np.int64), A.row_nnz())
-    off = A.indices.astype(np.int64) - rows
-    # O(nnz) offset histogram (np.unique would lexsort all nnz offsets —
-    # ~3 s at 7M nnz)
-    hist = np.bincount(off + n, minlength=2 * n + 1)
+    # offset histogram: native OpenMP pass when available, else O(nnz)
+    # bincount (np.unique would lexsort all nnz offsets — ~3 s at 7M nnz)
+    from .. import native
+    rows = off = None
+    hist = native.dia_hist(A)
+    if hist is None:
+        rows = np.repeat(np.arange(n, dtype=np.int64), A.row_nnz())
+        off = A.indices.astype(np.int64) - rows
+        hist = np.bincount(off + n, minlength=2 * n + 1)
     cand = np.nonzero(hist >= max(min_band_frac * n, 1))[0]
     order = cand[np.argsort(-hist[cand])][:max_bands]
     # trim the sparse tail: dense bands (>=10% filled) always pay off;
@@ -896,19 +906,46 @@ def best_operator(A: CSRMatrix, dtype=None, max_bands: int = 64,
     keep_n = int(np.searchsorted(csum, 0.9 * A.nnz) + 1)
     dense_n = int((hist[order] >= 0.1 * n).sum())
     order = order[:max(keep_n, dense_n, 1)]
+    # symmetric completion: keep offsets in +/- pairs so the banded part
+    # of a (structurally) symmetric matrix stays symmetric — a top-k cut
+    # that keeps +d but drops -d makes the DIA part nonsymmetric, which
+    # breaks the filtered smoother (Chebyshev on a nonsymmetric operator
+    # can amplify) and SPD-preconditioner guarantees
+    mirror = 2 * n - order
+    extra = mirror[(hist[mirror] > 0) & ~np.isin(mirror, order)]
+    if extra.size:
+        order = np.concatenate([order, extra])
     covered = int(hist[order].sum())
     if (len(order) == 0 or covered < min_coverage * A.nnz
             or len(order) * n > fill_limit * A.nnz):
         return device_operator(A, dtype=dtype)
     keep_offs = np.sort(order.astype(np.int64) - n)
-    # direct offset->band-slot map (searchsorted over nnz costs ~1 s at 7M)
-    slot_arr = np.full(2 * n + 1, -1, dtype=np.int32)
-    slot_arr[keep_offs + n] = np.arange(len(keep_offs), dtype=np.int32)
-    slots = slot_arr[off + n]
-    inband = slots >= 0
-    bands = np.zeros((len(keep_offs), n), dtype=np.dtype(dtype))
-    bands[slots[inband], rows[inband]] = A.data[inband]
     nrem = A.nnz - covered
+    pad = _round_up(max(nrem, 1), 128)
+    nat = native.dia_split(A, keep_offs, dtype, nrem, pad) \
+        if rows is None else None
+    if nat is not None:
+        bands, r_rows, r_cols, r_vals = nat
+    else:
+        if rows is None:
+            rows = np.repeat(np.arange(n, dtype=np.int64), A.row_nnz())
+            off = A.indices.astype(np.int64) - rows
+        # direct offset->band-slot map (searchsorted over nnz costs ~1 s
+        # at 7M)
+        slot_arr = np.full(2 * n + 1, -1, dtype=np.int32)
+        slot_arr[keep_offs + n] = np.arange(len(keep_offs), dtype=np.int32)
+        slots = slot_arr[off + n]
+        inband = slots >= 0
+        bands = np.zeros((len(keep_offs), n), dtype=np.dtype(dtype))
+        bands[slots[inband], rows[inband]] = A.data[inband]
+        r_rows = np.full(pad, n, dtype=np.int32)
+        r_cols = np.zeros(pad, dtype=np.int32)
+        r_vals = np.zeros(pad, dtype=np.dtype(dtype))
+        if nrem:
+            outb = ~inband
+            r_rows[:nrem] = rows[outb]
+            r_cols[:nrem] = A.indices[outb]
+            r_vals[:nrem] = A.data[outb]
     if nrem == 0:
         # fully banded: grid-detectable levels compress to an exact
         # factored stencil (KB instead of MB of band transfer)
@@ -923,24 +960,43 @@ def best_operator(A: CSRMatrix, dtype=None, max_bands: int = 64,
                     if _DEFER_DEVICE.get():
                         return st
                     return jax.tree_util.tree_map(jnp.asarray, st)
-        return _const_compress_dia(bands, keep_offs, n, dtype) or \
-            DiaOperator(asdev(bands), tuple(int(o) for o in keep_offs), n)
-    dia = _const_compress_dia(bands, keep_offs, n, dtype) or \
-        DiaOperator(asdev(bands), tuple(int(o) for o in keep_offs), n)
-    pad = _round_up(nrem, 128)
-    r_rows = np.full(pad, n, dtype=np.int32)
-    r_cols = np.zeros(pad, dtype=np.int32)
-    r_vals = np.zeros(pad, dtype=np.dtype(dtype))
-    outb = ~inband
-    r_rows[:nrem] = rows[outb]
-    r_cols[:nrem] = A.indices[outb]
-    r_vals[:nrem] = A.data[outb]
+    # constant-band compression; in f32 performance mode near-constant
+    # bands demote their few non-modal entries (boundary rows) into the
+    # COO remainder, so Galerkin coarse levels ship as scalar x bitmask
+    # (~32x less transfer + SpMV traffic) instead of full bands.  The
+    # apply stays exact; f64 conformance mode keeps bit-strict bands.
+    demote = np.dtype(dtype) == np.float32
+    if demote:
+        cc, e_rows, e_cols, e_vals = _const_compress_dia(
+            bands, keep_offs, n, dtype, demote=True)
+    else:
+        cc = _const_compress_dia(bands, keep_offs, n, dtype)
+        e_rows = np.zeros(0, np.int64)
+        e_cols = e_rows
+        e_vals = np.zeros(0, np.dtype(dtype))
+    dia = cc or DiaOperator(asdev(bands),
+                            tuple(int(o) for o in keep_offs), n)
+    total_rem = nrem + int(e_rows.size)
+    if total_rem == 0:
+        return dia
+    if e_rows.size:
+        pad2 = _round_up(total_rem, 128)
+        m_rows = np.full(pad2, n, dtype=np.int32)
+        m_cols = np.zeros(pad2, dtype=np.int32)
+        m_vals = np.zeros(pad2, dtype=np.dtype(dtype))
+        m_rows[:nrem] = r_rows[:nrem]
+        m_cols[:nrem] = r_cols[:nrem]
+        m_vals[:nrem] = r_vals[:nrem]
+        m_rows[nrem:total_rem] = e_rows
+        m_cols[nrem:total_rem] = e_cols
+        m_vals[nrem:total_rem] = e_vals
+        r_rows, r_cols, r_vals = m_rows, m_cols, m_vals
     rem = CooOperator(asdev(r_rows), asdev(r_cols), asdev(r_vals), n, n)
     return HybridDiaOperator(dia=dia, rem=rem)
 
 
 def _const_compress_dia(bands: np.ndarray, offs, n: int, dtype,
-                        min_const: int = 2):
+                        min_const: int = 2, demote: bool = False):
     """Split DIA bands into constant (scalar x bitmask) and full parts.
 
     A band compresses when EVERY nonzero equals one value — the apply is
@@ -950,9 +1006,17 @@ def _const_compress_dia(bands: np.ndarray, offs, n: int, dtype,
     ``min_const`` bands compress (and n is large enough to matter), else
     None.  Classical-AMG coarse operators of constant-coefficient
     problems compress almost entirely (measured: 8/9 bands at the first
-    FE coarse level)."""
+    FE coarse level).
+
+    ``demote=True`` additionally compresses NEAR-constant bands by
+    masking out the few non-modal entries (boundary rows of Galerkin
+    coarse operators) and returning them as extra COO triples — the
+    apply stays exact (band contributes 0 where the mask is cleared; the
+    COO carries the full value).  Return value is then a tuple
+    ``(op_or_None, extra_rows, extra_cols, extra_vals)``."""
+    extras = ([], [], [])
     if n < 4096:
-        return None
+        return (None, *map(np.asarray, extras)) if demote else None
     const_k, full_k = [], []
     for k in range(bands.shape[0]):
         band = bands[k]
@@ -969,21 +1033,50 @@ def _const_compress_dia(bands: np.ndarray, offs, n: int, dtype,
         sample = band[nzidx[:: max(1, nzidx.size // 512)]]
         v, c = np.unique(sample, return_counts=True)
         v0 = v[c.argmax()]
-        if v0 != 0.0 and np.all(band[nzidx] == v0):
+        if v0 == 0.0:
+            full_k.append(k)
+            continue
+        exc = nzidx[band[nzidx] != v0]
+        if exc.size == 0:
             const_k.append((k, float(v0), band != 0))
+        elif demote and exc.size <= max(0.05 * nzidx.size, 32):
+            # near-constant: clear the exceptional rows from the mask
+            # and ship their (row, col, full value) through the COO side
+            mask = np.zeros(n, dtype=bool)
+            mask[nzidx] = True
+            mask[exc] = False
+            const_k.append((k, float(v0), mask))
+            extras[0].append(exc)
+            extras[1].append(exc + int(offs[k]))
+            extras[2].append(band[exc])
         else:
             full_k.append(k)
+
+    def _ex():
+        if not extras[0]:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.dtype(dtype)))
+        return (np.concatenate(extras[0]), np.concatenate(extras[1]),
+                np.concatenate(extras[2]))
+
     if len(const_k) < min_const:
+        # no compression: the caller keeps the FULL bands (which still
+        # contain any would-be-demoted entries), so the extras must be
+        # dropped here — returning them would double-count
+        if demote:
+            return (None, np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.dtype(dtype)))
         return None
     consts = np.array([c for _, c, _ in const_k], dtype=np.dtype(dtype))
     masks = np.stack([pack_bits(m) for _, _, m in const_k])
     cop = ConstDiaOperator(asdev(consts), asdev(masks),
                            tuple(int(offs[k]) for k, _, _ in const_k), n)
     if not full_k:
-        return cop
+        return (cop, *_ex()) if demote else cop
     fop = DiaOperator(asdev(bands[full_k]),
                       tuple(int(offs[k]) for k in full_k), n)
-    return SumOperator(parts=(cop, fop))
+    out = SumOperator(parts=(cop, fop))
+    return (out, *_ex()) if demote else out
 
 
 def device_operator(A, dtype=None, prefer: Optional[str] = None):

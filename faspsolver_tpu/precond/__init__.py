@@ -5,7 +5,8 @@ from .ilu import ILUPrecond, TriangularSolver, setup_ilu
 from .preconditioners import AMGNKPrecond, AMGPrecond, FMGPrecond
 from .schwarz import SchwarzPrecond, setup_schwarz
 from .str_precond import (StrBlockGSPrecond, StrDiagPrecond, setup_str_blockgs,
-                          setup_str_diag, setup_str_ilu)
+                          setup_str_diag, setup_str_ilu,
+                          setup_str_schwarz, StrSchwarzSmoother)
 from .blc_precond import (BlcOperator, BlcPrecond, BlcSweepingPrecond,
                           setup_blc_precond, setup_blc_sweeping)
 
@@ -16,5 +17,6 @@ __all__ = ["amg", "AMGPrecond", "AMGNKPrecond", "FMGPrecond",
            "SchwarzPrecond", "setup_schwarz",
            "StrDiagPrecond", "StrBlockGSPrecond", "setup_str_diag",
            "setup_str_blockgs", "setup_str_ilu",
+           "setup_str_schwarz", "StrSchwarzSmoother",
            "BlcOperator", "BlcPrecond", "BlcSweepingPrecond",
            "setup_blc_precond", "setup_blc_sweeping"]

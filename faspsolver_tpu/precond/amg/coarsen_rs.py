@@ -64,7 +64,9 @@ def strong_couplings(A: CSRMatrix, theta: float,
 
     # rows dominated by their diagonal: drop all couplings
     d = np.abs(A.diagonal())
-    isolated = offsum <= (1.0 - max_row_sum) * d
+    # strict < for exact reference parity (row_sum < (2-mrs)|a_ii|,
+    # PreAMGCoarsenRS.c strong_couplings; ADVICE r4)
+    isolated = offsum < (1.0 - max_row_sum) * d
 
     keep = off & (neg > theta * np.maximum(row_max[rows], 1e-300)) \
         & (neg > 0) & (~isolated[rows])
@@ -285,22 +287,37 @@ def cf_split_aggressive(A: CSRMatrix, S: sp.csr_matrix,
     cpts = np.nonzero(marker == CGPT)[0]
     if len(cpts) < 4:
         return marker
-    # strength among C points via paths of length <= path+1 in S (RS C
-    # points are distance>=2 apart, so distance-1 strength between them is
-    # empty; path=1 means "strongly connected through one F point", the
-    # reference's A1 aggressive scheme, path=2 the A2 scheme)
-    Sb = S.copy()
-    Sb.data = np.ones_like(Sb.data)
-    S2 = Sb
-    for _ in range(path):
-        S2 = (S2 @ Sb + S2).tocsr()
-    Sc = S2[cpts][:, cpts].tocsr()
-    Sc.setdiag(0)
-    Sc.eliminate_zeros()
-    sub = np.full(len(cpts), FGPT, dtype=np.int64)
-    # reuse the RS heuristic on the C-subgraph
-    subA = A.get_block(cpts, cpts)
-    sub = cf_split_rs(subA, Sc)
+    # Sh: strength among temporary C points.  Native path is
+    # reference-exact (strong_couplings_agg1/agg2, PreAMGCoarsenRS.c):
+    # C-C direct S edge, or >= `path` DISTINCT 2-hop paths through F
+    # points — an O(sum of 2-hop neighborhoods) stamp walk, no SpGEMM.
+    from ... import native
+    cf32 = np.where(marker == CGPT, 1,
+                    np.where(marker == ISPT, 2, 0)).astype(np.int32)
+    nat = native.agg_strength(S.indptr, S.indices, A.nrow, cf32,
+                              int(path), len(cpts))
+    if nat is not None:
+        shp, shi = nat
+        Sc = sp.csr_matrix((np.ones(len(shi), dtype=np.float64), shi,
+                            shp), shape=(len(cpts), len(cpts)))
+    else:
+        # toolchain-free fallback: boolean path closure (length <=
+        # path+1) — an approximation of the reference's distinct-path
+        # count; slightly denser Sh, same coarsening character
+        Sb = S.copy()
+        Sb.data = np.ones_like(Sb.data)
+        S2 = Sb
+        for _ in range(path):
+            S2 = (S2 @ Sb + S2).tocsr()
+        Sc = S2[cpts][:, cpts].tocsr()
+        Sc.setdiag(0)
+        Sc.eliminate_zeros()
+    # reuse the RS heuristic on the C-subgraph (the reference's phase-2
+    # loop is the classical bucket-list split run on Sh).  cf_split_rs
+    # reads only nrow from its matrix argument, so a shim avoids the
+    # ~0.2 s scipy submatrix extraction at 1M dof.
+    shim = type("_SubShim", (), {"nrow": len(cpts)})()
+    sub = cf_split_rs(shim, Sc)
     out = marker.copy()
     out[cpts] = np.where(sub == CGPT, CGPT, FGPT)
     if (out == CGPT).sum() == 0:       # degenerate: keep the first pass

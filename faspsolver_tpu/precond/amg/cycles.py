@@ -24,6 +24,12 @@ from ...constants import CycleType
 from .hierarchy import AMGHierarchy
 from .smoothers import smooth
 
+
+def _sm_op(lvl):
+    """Operator used inside smoother sweeps: the level's gather-free
+    filtered operator when present (AMGLevel.Asm), else the exact one."""
+    return lvl.A if lvl.Asm is None else lvl.Asm
+
 # Deepest level that still doubles visits in W-type cycles.  The traced
 # graph carries prod(visits) coarse-level visits, so the cap bounds trace
 # size at 2^6 = 64 — the W-cycle benefit concentrates in the top levels
@@ -57,7 +63,8 @@ def _cycle(hier: AMGHierarchy, l: int, b, x):
         return hier.coarse(b)
 
     lvl = levels[l]
-    x = smooth(lvl.smoother, lvl.A, x, b, hier.presmooth_iter, forward=True)
+    x = smooth(lvl.smoother, _sm_op(lvl), x, b, hier.presmooth_iter,
+               forward=True)
 
     r = b - lvl.A(x)
     rc = lvl.R(r)
@@ -75,7 +82,7 @@ def _cycle(hier: AMGHierarchy, l: int, b, x):
         ec = alpha * ec
 
     x = x + lvl.P(ec)
-    x = smooth(lvl.smoother, lvl.A, x, b, hier.postsmooth_iter,
+    x = smooth(lvl.smoother, _sm_op(lvl), x, b, hier.postsmooth_iter,
                forward=False)
     if lvl.nk is not None:
         # extra near-kernel solve (reference: PreMGCycle.c:369-391):
@@ -130,7 +137,8 @@ def _amli(hier: AMGHierarchy, l: int, b, x):
     degree = hier.amli_degree if l < _W_UNROLL_CAP else 0
     coef = hier.amli_coefs or amli_coefs(2.0, 0.5, hier.amli_degree)
 
-    x = smooth(lvl.smoother, lvl.A, x, b, hier.presmooth_iter, forward=True)
+    x = smooth(lvl.smoother, _sm_op(lvl), x, b, hier.presmooth_iter,
+               forward=True)
     r = b - lvl.A(x)
     r1 = lvl.R(r)
 
@@ -152,7 +160,7 @@ def _amli(hier: AMGHierarchy, l: int, b, x):
         e1 = alpha * e1
 
     x = x + lvl.P(e1)
-    x = smooth(lvl.smoother, lvl.A, x, b, hier.postsmooth_iter,
+    x = smooth(lvl.smoother, _sm_op(lvl), x, b, hier.postsmooth_iter,
                forward=False)
     return x
 
@@ -178,7 +186,8 @@ def _nl_amli(hier: AMGHierarchy, l: int, b, x):
         return hier.coarse(b)
 
     lvl = levels[l]
-    x = smooth(lvl.smoother, lvl.A, x, b, hier.presmooth_iter, forward=True)
+    x = smooth(lvl.smoother, _sm_op(lvl), x, b, hier.presmooth_iter,
+               forward=True)
     r = b - lvl.A(x)
     rc = lvl.R(r)
 
@@ -202,7 +211,7 @@ def _nl_amli(hier: AMGHierarchy, l: int, b, x):
         rr = rr - alpha * Az
 
     x = x + lvl.P(ec)
-    x = smooth(lvl.smoother, lvl.A, x, b, hier.postsmooth_iter,
+    x = smooth(lvl.smoother, _sm_op(lvl), x, b, hier.postsmooth_iter,
                forward=False)
     return x
 

@@ -43,6 +43,13 @@ class AMGLevel:
     R: Optional[Any]                      # restriction  (None on coarsest)
     smoother: Optional[SmootherData]      # None on coarsest
     nk: Optional[NearKernel] = None       # near-kernel correction data
+    # optional gather-free SMOOTHING operator (filtered-matrix smoothing,
+    # same family as the reference's SA smooth_filter, PreAMGSetupSA.c):
+    # on TPU a hybrid DIA+COO level pays ~15x per SpMV for its small COO
+    # remainder (arbitrary-index gathers, CLAUDE.md ground truth), and
+    # 12 of the ~14 SpMVs per level per cycle are smoother applications
+    # that do not need the exact operator — residuals/transfers keep A.
+    Asm: Optional[Any] = None
 
 
 @jax.tree_util.register_dataclass

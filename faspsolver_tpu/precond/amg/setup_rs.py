@@ -46,16 +46,67 @@ def _rap(P: CSRMatrix, A: CSRMatrix, R: CSRMatrix) -> CSRMatrix:
         (R.to_scipy() @ A.to_scipy() @ P.to_scipy()).tocsr())
 
 
+# hybrid levels whose COO remainder is at least this many entries smooth
+# through the filtered (banded + diagonal-compensated) operator; smaller
+# remainders are cheap enough to keep exact smoothing and its iteration
+# counts.  Module-level so experiments/benchmarks can tune it.
+_FILTER_REM_MIN = 8192
+
+
+def _smoothing_bands(Al: CSRMatrix, dtype, max_bands: int = 64):
+    """Gather-free banded SMOOTHING operator for levels whose exact
+    operator is gather-based (ELL/COO): top-k diagonals (symmetric-pair
+    completed) + row-sum diagonal compensation for everything dropped
+    (the SA smooth_filter rule).  Smoother-only — residuals/transfers
+    keep the exact operator, so this trades nothing but smoother
+    quality for the ~165x banded-vs-gather TPU read advantage."""
+    from ...ops.operators import DiaOperator, asdev
+    n = Al.nrow
+    rows = np.repeat(np.arange(n, dtype=np.int64), Al.row_nnz())
+    off = Al.indices.astype(np.int64) - rows
+    hist = np.bincount(off + n, minlength=2 * n + 1)
+    cand = np.nonzero(hist)[0]
+    order = cand[np.argsort(-hist[cand])][:max_bands]
+    if n not in order:                     # always keep the diagonal
+        order = np.concatenate([order, [n]])
+    mirror = 2 * n - order
+    extra = mirror[(hist[mirror] > 0) & ~np.isin(mirror, order)]
+    if extra.size:
+        order = np.concatenate([order, extra])
+    keep = np.sort(order.astype(np.int64) - n)
+    slot = np.full(2 * n + 1, -1, dtype=np.int32)
+    slot[keep + n] = np.arange(len(keep), dtype=np.int32)
+    s = slot[off + n]
+    inb = s >= 0
+    bands = np.zeros((len(keep), n), dtype=np.dtype(dtype))
+    bands[s[inb], rows[inb]] = Al.data[inb]
+    if not inb.all():
+        comp = np.bincount(rows[~inb], weights=Al.data[~inb],
+                           minlength=n)
+        z = int(np.flatnonzero(keep == 0)[0])
+        bands[z] += comp.astype(np.dtype(dtype))
+    return DiaOperator(asdev(bands), tuple(int(o) for o in keep), n)
+
+
 def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
              dtype=None, keep_f64_fine: bool = False,
-             pack: bool = False, timings: Optional[dict] = None):
+             pack: bool = False, timings: Optional[dict] = None,
+             filter_smoother: bool = False):
     """``pack=True`` freezes the hierarchy as packed flat buffers
     (ops/packing.py) with host-side construction (defer_device) — one
     program-free transfer instead of per-leaf uploads; ``keep_f64_fine``
     attaches a compressed f64 fine operator for device-resident
     refinement when the fine level is banded.  ``timings`` (optional
     dict) accumulates per-phase seconds (coarsen/interp/rap/smoother/
-    transfer/pack) so setup cost is auditable per phase."""
+    transfer/pack) so setup cost is auditable per phase.
+
+    ``filter_smoother=True`` (performance mode) smooths hybrid DIA+COO
+    levels with their gather-free banded part only (AMGLevel.Asm) while
+    residuals/transfers keep the exact operator — the filtered-matrix
+    smoothing idea of the reference's SA smooth_filter
+    (PreAMGSetupSA.c), applied because TPU arbitrary-index gathers cost
+    ~165x a banded read (CLAUDE.md).  Off by default: conformance runs
+    keep exact-operator smoothing and the golden iteration counts."""
     import time as _time
 
     def _tick(key, t0):
@@ -69,7 +120,8 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         with defer_device():
             hier = setup_rs(A, param, dtype=dtype,
                             keep_f64_fine=keep_f64_fine, pack=False,
-                            timings=timings)
+                            timings=timings,
+                            filter_smoother=filter_smoother)
         op64_host = hier.fine64
         if op64_host is not None:
             import dataclasses as _dc
@@ -127,8 +179,16 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         if cur.nrow > 10 * nc:
             break
         t0 = _time.perf_counter()
-        P = interpolate(cur, marker, S,
-                        interp_type=param.interpolation_type,
+        # aggressive (path-2) coarsening leaves F points with no strong C
+        # neighbour in range of direct/extended interpolation — P
+        # degenerates to near-injection and the Galerkin product goes
+        # diagonal.  Standard interpolation's F-F elimination reaches the
+        # 2-hop C points, which is why the reference pairs aggressive
+        # coarsening with interp_STD (PreAMGCoarsenRS.c cfsplitting_agg +
+        # PreAMGInterp.c interp_STD).
+        itype = (int(InterpType.STANDARD) if lvl_method == "aggressive"
+                 else param.interpolation_type)
+        P = interpolate(cur, marker, S, interp_type=itype,
                         trunc_threshold=param.truncation_threshold)
         _tick("interp_s", t0)
         t0 = _time.perf_counter()
@@ -199,8 +259,32 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
         # banded levels, ELL otherwise — the general RS algorithm with the
         # storage each level's sparsity shape wants
         t0 = _time.perf_counter()
-        levels.append(AMGLevel(A=best_operator(Al, dtype=dtype),
-                               P=Pop, R=Rop, smoother=sm))
+        Aop = best_operator(Al, dtype=dtype)
+        Asm = None
+        if filter_smoother:
+            from ...ops.operators import (CooOperator, DiaOperator,
+                                          EllOperator, HybridDiaOperator,
+                                          SumOperator, asdev)
+            if isinstance(Aop, (EllOperator, CooOperator)) \
+                    and Al.nrow <= 32768:
+                # small gather-based level: band-approximate smoothing
+                Asm = _smoothing_bands(Al, dtype)
+            elif isinstance(Aop, HybridDiaOperator) \
+                    and Aop.rem.vals.size >= (1 << 60):
+                # gather-free banded part + diagonal compensation: fold
+                # the dropped COO mass into the diagonal so row sums are
+                # preserved (the reference's SA smooth_filter rule,
+                # PreAMGSetupSA.c) — dropping without compensation
+                # measurably destroys smoother quality (7 -> 75 iters on
+                # the FE-65k probe)
+                rem_rows = np.asarray(Aop.rem.rows)
+                rem_vals = np.asarray(Aop.rem.vals, dtype=np.float64)
+                comp = np.bincount(rem_rows, weights=rem_vals,
+                                   minlength=Al.nrow + 1)[:Al.nrow]
+                cband = comp.astype(np.dtype(dtype))[None, :]
+                Asm = SumOperator(parts=(
+                    Aop.dia, DiaOperator(asdev(cband), (0,), Al.nrow)))
+        levels.append(AMGLevel(A=Aop, P=Pop, R=Rop, smoother=sm, Asm=Asm))
         _tick("format_s", t0)
 
     coarse = make_coarse_solver(host_levels[-1], dtype)
@@ -226,11 +310,17 @@ def setup_rs(A: CSRMatrix, param: Optional[AMGParam] = None,
             # cheap distinct-offset count BEFORE materializing bands: the
             # NumPy band fallback densely allocates (k, n) f64, which for
             # an unstructured/permuted matrix with thousands of distinct
-            # offsets would be tens of GB (ADVICE r3)
-            _r = np.repeat(np.arange(A.nrow, dtype=np.int64),
-                           np.diff(A.indptr))
-            n_offs = np.unique(A.indices.astype(np.int64) - _r).size
-            del _r
+            # offsets would be tens of GB (ADVICE r3).  Native histogram
+            # when available (the np.unique form lexsorts all nnz).
+            from ... import native as _native
+            _h = _native.dia_hist(A)
+            if _h is not None:
+                n_offs = int(np.count_nonzero(_h))
+            else:
+                _r = np.repeat(np.arange(A.nrow, dtype=np.int64),
+                               np.diff(A.indptr))
+                n_offs = np.unique(A.indices.astype(np.int64) - _r).size
+                del _r
             offs = flat = None
             if n_offs <= 36:
                 offs, flat = dia_bands_from_csr(A)

@@ -117,6 +117,17 @@ def build_smoother(A: CSRMatrix, kind: int, *, relax: float = 1.0,
     dinv = asdev(_compact(1.0 / dsafe), dtype=dtype)
 
     kind = int(kind)
+    if kind in (SmootherType.BLKOIL, SmootherType.SPETEN,
+                SmootherType.CPRGS, SmootherType.CPTRGS):
+        # reservoir smoother ids (fasp_const.h:204-208): the reference
+        # only parses these in-tree (AuxInput.c:652-658; implementations
+        # live in its closed reservoir apps) — accept the ini surface and
+        # map to GS so configs written for the reservoir build still run
+        from ...utils.messages import warn
+        warn(f"reservoir smoother id {kind} "
+             f"({SmootherType(kind).name}) has no in-tree implementation "
+             f"in the reference either; mapping to GS")
+        kind = int(SmootherType.GS)
     if kind in (SmootherType.JACOBI, SmootherType.JACOBIF):
         return SmootherData(kind=int(SmootherType.JACOBI), relax=float(relax),
                             nsweep_scale=1, dinv=dinv)
@@ -166,12 +177,19 @@ def build_smoother(A: CSRMatrix, kind: int, *, relax: float = 1.0,
         # Gershgorin bound replaces it (one vectorized pass; always an
         # upper bound, so Chebyshev stays a damper — the structured path
         # documents the same substitution)
-        m = A.to_scipy()
         dinv_np = 1.0 / dsafe
         if A.nrow > 200_000:
-            l1 = np.asarray(np.abs(m).sum(axis=1)).ravel()
+            # direct CSR row-wise |.| sums — no scipy matrix copy
+            # (reduceat needs every indptr[i] < nnz, i.e. no trailing
+            # empty rows; fall back to scipy otherwise)
+            rl = np.diff(A.indptr)
+            if A.nnz and rl.min() > 0:
+                l1 = np.add.reduceat(np.abs(A.data), A.indptr[:-1])
+            else:
+                l1 = np.asarray(np.abs(A.to_scipy()).sum(axis=1)).ravel()
             lam = float(np.max(np.abs(dinv_np) * l1))
         else:
+            m = A.to_scipy()
             rng = np.random.default_rng(0)
             v = rng.standard_normal(A.nrow)
             lam = 1.0

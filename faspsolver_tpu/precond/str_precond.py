@@ -282,3 +282,154 @@ def setup_str_ilu(A: STRMatrix, fill: int = 0, dtype=None):
         Usolve=_banded_block_solver(bands, offs, A.ngrid, A.nc, False,
                                     dtype),
         nb=A.nc)
+
+
+# ---------------------------------------------------------------------------
+# Schwarz smoother on the structured grid
+# (reference: fasp_smoother_dstr_swz + fasp_generate_diaginv_block,
+#  ItrSmootherSTR.c:1665/1565 — per grid node, solve the overlapping
+#  {node + stencil neighbours} patch exactly and add the correction)
+# ---------------------------------------------------------------------------
+
+def _linear_to_coords(d: int, nx: int, ny: int) -> Tuple[int, int, int]:
+    """Decompose a linear grid offset into (dx, dy, dz) for the standard
+    STR offset convention (+-1, +-nx, +-nx*ny and combinations)."""
+    nxy = nx * ny
+    dz = int(np.rint(d / nxy)) if nxy > 1 else 0
+    rem = d - dz * nxy
+    dy = int(np.rint(rem / nx)) if nx > 1 else 0
+    dx = rem - dy * nx
+    return dx, dy, dz
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class StrSchwarzSmoother:
+    """Schwarz-as-smoother (reference: fasp_smoother_dstr_swz,
+    ItrSmootherSTR.c:1665): for each grid node, gather the residual on
+    the overlapping patch {node} + stencil neighbours, solve the dense
+    patch system with a precomputed factorization, and add the
+    correction to the node and its neighbours.
+
+    TPU-native form: nodes are COLOR-BATCHED so that patches within one
+    color are disjoint — each color is one batched dense (m, m) solve on
+    the MXU, with the residual refreshed between colors.  This is the
+    same multiplicative-across / additive-within-color semantics as the
+    multicolor GS family (documented deviation: the reference refreshes
+    the residual after EVERY node; with singleton colors the two
+    coincide exactly).
+    """
+
+    A: StrOperator
+    inv: jax.Array        # (ng, m, m) patch inverses (pinv at boundary)
+    members: jax.Array    # (ng, k1) int32 patch grid nodes (pad -> ng)
+    valid: jax.Array      # (ng, k1) float mask of real members
+    colors: Tuple[jax.Array, ...]   # node-id arrays, one per color
+    nsweeps: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    def _color_update(self, x, b, nodes):
+        ng, nc = self.A.ng, self.A.nc
+        r = (b - self.A(x)).reshape(ng, nc)
+        mem = self.members[nodes]               # (q, k1)
+        val = self.valid[nodes]                 # (q, k1)
+        ri = r[jnp.clip(mem, 0, ng - 1)] * val[:, :, None]   # (q, k1, nc)
+        q, k1 = mem.shape
+        e = jnp.einsum("qab,qb->qa", self.inv[nodes],
+                       ri.reshape(q, k1 * nc))  # (q, m)
+        e = (e.reshape(q, k1, nc) * val[:, :, None]).reshape(-1, nc)
+        xb = x.reshape(ng, nc)
+        flat = jnp.where(val.reshape(-1) > 0, mem.reshape(-1), ng)
+        xb = jnp.concatenate([xb, jnp.zeros((1, nc), xb.dtype)])
+        xb = xb.at[flat].add(e)
+        return xb[:ng].reshape(-1)
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        x = jnp.zeros_like(r)
+        for _ in range(self.nsweeps):
+            for nodes in self.colors:
+                x = self._color_update(x, r, nodes)
+        return x
+
+    def smooth(self, x, b, nsweeps: int):
+        for _ in range(nsweeps):
+            for nodes in self.colors:
+                x = self._color_update(x, b, nodes)
+        return x
+
+
+def setup_str_schwarz(A: STRMatrix, dtype=None,
+                      nsweeps: int = 1) -> StrSchwarzSmoother:
+    """Build the patch factorizations + conflict-free node coloring for
+    :class:`StrSchwarzSmoother` (reference setup:
+    fasp_generate_diaginv_block, ItrSmootherSTR.c:1565 — LU of each
+    (node + neighbours) patch)."""
+    dtype = dtype or default_dtype()
+    ng, nc = A.ngrid, A.nc
+    offs = [0] + [int(o) for o in A.offsets]
+    k1 = len(offs)
+    m = k1 * nc
+    g = np.arange(ng, dtype=np.int64)
+    members = np.stack([g + o for o in offs], axis=1)        # (ng, k1)
+    valid = (members >= 0) & (members < ng)
+    # row-boundary validity: an x-offset must not wrap across grid rows
+    for s, o in enumerate(offs):
+        dx, dy, dz = _linear_to_coords(o, A.nx, A.ny)
+        gx = g % A.nx
+        gy = (g // A.nx) % A.ny
+        ok = (gx + dx >= 0) & (gx + dx < A.nx) \
+            & (gy + dy >= 0) & (gy + dy < A.ny)
+        valid[:, s] &= ok
+    members = np.where(valid, members, ng).astype(np.int32)
+
+    # patch matrices: blocks between patch members (offset differences
+    # that are themselves stencil offsets)
+    off_idx = {int(o): i for i, o in enumerate(A.offsets)}
+    P = np.zeros((ng, m, m), dtype=np.float64)
+    for a in range(k1):
+        ga = g + offs[a]
+        va = valid[:, a]
+        for b_ in range(k1):
+            d = offs[b_] - offs[a]
+            vb = valid[:, b_] & va
+            sl = np.s_[a * nc:(a + 1) * nc, b_ * nc:(b_ + 1) * nc]
+            if d == 0:
+                blocks = A.diag[np.clip(ga, 0, ng - 1)]
+            elif d in off_idx:
+                blocks = A.offdiag[off_idx[d]][np.clip(ga, 0, ng - 1)]
+            else:
+                continue
+            P[:, sl[0], sl[1]] = np.where(vb[:, None, None], blocks, 0.0)
+    # identity rows for invalid slots keep the batch invertible
+    for a in range(k1):
+        bad = ~valid[:, a]
+        if bad.any():
+            for j in range(nc):
+                P[bad, a * nc + j, :] = 0.0
+                P[bad, a * nc + j, a * nc + j] = 1.0
+    inv = np.linalg.inv(P)
+
+    # conflict-free coloring: patches of g and h intersect iff h - g is a
+    # difference of two patch offsets; color on grid coordinates modulo
+    # (2*max|dx|+1, ...) per axis
+    coords = [(_linear_to_coords(o, A.nx, A.ny)) for o in offs]
+    mx = max(abs(ca[0] - cb[0]) for ca in coords for cb in coords)
+    my = max(abs(ca[1] - cb[1]) for ca in coords for cb in coords)
+    mz = max(abs(ca[2] - cb[2]) for ca in coords for cb in coords)
+    cx, cy, cz = (min(mx + 1, A.nx), min(my + 1, max(A.ny, 1)),
+                  min(mz + 1, max(A.nz, 1)))
+    gx = g % A.nx
+    gy = (g // A.nx) % max(A.ny, 1)
+    gz = g // (A.nx * max(A.ny, 1))
+    color = (gx % cx) + cx * ((gy % cy) + cy * (gz % cz))
+    ncolors = cx * cy * cz
+    colors = tuple(jnp.asarray(np.flatnonzero(color == c).astype(np.int32))
+                   for c in range(ncolors)
+                   if np.any(color == c))
+
+    dt = np.dtype(dtype)
+    return StrSchwarzSmoother(
+        A=StrOperator.from_str(A, dtype=dt),
+        inv=jnp.asarray(inv.astype(dt)),
+        members=jnp.asarray(members),
+        valid=jnp.asarray(valid.astype(dt)),
+        colors=colors, nsweeps=nsweeps)

@@ -280,14 +280,22 @@ def krylov_swz(A: CSRMatrix, b, x0=None, its: Optional[ITSParam] = None,
 
 
 def krylov_blockgs(A, b, x0=None, its: Optional[ITSParam] = None,
-                   nsweeps: int = 2) -> SolveResult:
-    """Block-GS-preconditioned Krylov for structured-grid matrices
-    (reference: fasp_solver_dstr_krylov_blockgs, SolSTR.c:323)."""
+                   nsweeps: int = 2,
+                   smoother: str = "blockgs") -> SolveResult:
+    """Block-smoother-preconditioned Krylov for structured-grid matrices
+    (reference: fasp_solver_dstr_krylov_blockgs, SolSTR.c:323).
+
+    ``smoother="schwarz"`` uses the overlapping-patch Schwarz smoother
+    instead (reference: fasp_smoother_dstr_swz, ItrSmootherSTR.c:1665)."""
     from ..formats.str_grid import STRMatrix
     if not isinstance(A, STRMatrix):
         raise FaspError(-41, "krylov_blockgs needs an STRMatrix")
-    from ..precond.str_precond import setup_str_blockgs
-    M = setup_str_blockgs(A, nsweeps=nsweeps)
+    if smoother == "schwarz":
+        from ..precond.str_precond import setup_str_schwarz
+        M = setup_str_schwarz(A, nsweeps=nsweeps)
+    else:
+        from ..precond.str_precond import setup_str_blockgs
+        M = setup_str_blockgs(A, nsweeps=nsweeps)
     return itsolver(A, b, x0=x0, M=M, its=its)
 
 

@@ -57,6 +57,7 @@ def solve_refined(A_host, b, inner_solve: Callable,
     total_inner = 0
     relres = 1.0
     prev_relres = np.inf
+    slow_rounds = 0
     best_x, best_relres = x, np.inf
     for rnd in range(max_rounds):
         r = b64 - spmv(x)
@@ -68,17 +69,23 @@ def solve_refined(A_host, b, inner_solve: Callable,
                                  relres=relres, converged=True)
         # stall guard: refinement converges geometrically when it works
         # (each round multiplies the error by the inner solve's residual
-        # reduction).  A round that gains less than 2x while still more
-        # than 10x away from tol means the inner precision budget is
-        # exhausted (conditioning beyond ~1/eps_f32) — further rounds
-        # repeat the same stalled correction, so stop early and return
-        # the BEST iterate seen (a diverged inner correction must not be
-        # handed back).  Within 10x of tol the remaining rounds are
-        # allowed to crawl across the finish line.
+        # reduction).  TWO CONSECUTIVE rounds gaining less than 2x while
+        # still more than 10x away from tol mean the inner precision
+        # budget is exhausted (conditioning beyond ~1/eps_f32) — further
+        # rounds repeat the same stalled correction, so stop early and
+        # return the BEST iterate seen (a diverged inner correction must
+        # not be handed back).  One slow round alone is NOT a stall: a
+        # steady ~1.9x/round refinement must be allowed to continue
+        # (ADVICE r4).  Within 10x of tol the remaining rounds may crawl
+        # across the finish line.
         if relres > 0.5 * prev_relres and relres > 10 * tol:
-            return RefinedResult(x=best_x, rounds=rnd,
-                                 inner_iters=total_inner,
-                                 relres=best_relres, converged=False)
+            slow_rounds += 1
+            if slow_rounds >= 2:
+                return RefinedResult(x=best_x, rounds=rnd,
+                                     inner_iters=total_inner,
+                                     relres=best_relres, converged=False)
+        else:
+            slow_rounds = 0
         prev_relres = relres
         # scale the residual to O(1) so the f32 inner solve keeps dynamic
         # range, then scale the correction back

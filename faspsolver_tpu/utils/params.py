@@ -221,7 +221,13 @@ _NAMED_VALUES = {
                      "sgsor": int(SmootherType.SGSOR),
                      "poly": int(SmootherType.POLY),
                      "l1diag": int(SmootherType.L1DIAG),
-                     "cheby": int(SmootherType.CHEBYSHEV)},
+                     "cheby": int(SmootherType.CHEBYSHEV),
+                     # reservoir names (AuxInput.c:652-658): accepted for
+                     # ini-surface compatibility, mapped at build time
+                     "blkoil": int(SmootherType.BLKOIL),
+                     "speten": int(SmootherType.SPETEN),
+                     "cprgs": int(SmootherType.CPRGS),
+                     "cptrgs": int(SmootherType.CPTRGS)},
     "AMG_smooth_order": {"no": 0, "cf": 1},
 }
 

@@ -355,3 +355,26 @@ def test_c1_filter_drops_in_edges_of_empty_rows():
     assert list(empty) == [False, False, True]
     assert S2[:, 2].nnz == 0             # in-edges to point 2 dropped
     assert S2[0, 1] == 1 and S2[1, 0] == 1
+
+
+def test_iterative_coarse_solver_large_coarse_level():
+    """A hierarchy whose coarsest level exceeds _DENSE_COARSE_LIMIT must
+    take the Jacobi-CG IterativeCoarseSolver branch (reference analog:
+    fasp_coarse_itsolver, PreMGUtil.inl:25) and still solve (ADVICE r4:
+    this branch was previously untested)."""
+    import dataclasses
+
+    from faspsolver_tpu.precond.amg import setup_rs
+    from faspsolver_tpu.precond.amg.hierarchy import IterativeCoarseSolver
+    from faspsolver_tpu.precond.amg.solve import amg_solve
+    from faspsolver_tpu.testgen import poisson_2d
+    from faspsolver_tpu.utils.params import AMGParam
+
+    A = poisson_2d(127)                  # 16129 dof
+    hier = setup_rs(A, AMGParam(max_levels=2, coarse_dof=100))
+    assert hier.num_levels == 2
+    assert isinstance(hier.coarse, IterativeCoarseSolver)
+    x_exact = np.ones(A.nrow)
+    b = A.matvec(x_exact)
+    res = amg_solve(hier, jnp.asarray(b), tol=1e-8, maxit=60)
+    assert np.abs(np.asarray(res.x) - x_exact).max() < 1e-4
