@@ -1,5 +1,5 @@
 """CLI: python -m faspsolver_tpu.benchmark [--data DIR] [--solver amg|ilu|cg]
-[--min N] [--max N] [--tpu]
+[--min N] [--max N] [--tpu] [--corpus [--scale N]] [--gen]
 
 Reference: benchmark/run.sh driving benchmark.ex over benchmark/input.dat.
 Defaults to the shipped MatrixMarket corpus on CPU/f64; --tpu runs
@@ -15,13 +15,16 @@ def main(argv) -> int:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
 
-    from .harness import run_benchmark, run_generated
+    from .harness import run_benchmark, run_corpus, run_generated
 
     def opt(flag, default):
         return argv[argv.index(flag) + 1] if flag in argv else default
 
     solver = opt("--solver", "ilu")
-    if "--gen" in argv:
+    if "--corpus" in argv:
+        results = run_corpus(solver_kind=opt("--solver", "amg"),
+                             scale=int(opt("--scale", 255)))
+    elif "--gen" in argv:
         results = run_generated(solver_kind=opt("--solver", "amg"))
     else:
         datadir = opt("--data", "/root/reference/data")

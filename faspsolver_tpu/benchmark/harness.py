@@ -155,6 +155,34 @@ def _refined_factory(kind: str):
         res = solve_refined(A, b, make_inner(A, jnp.float32), tol=1e-8,
                             max_rounds=8, dtype=jnp.float32)
         if not res.converged:
+            # first rescue IN f32: symmetric diagonal scaling
+            # (fasp_dcsr_symdiagscale analog) squeezes the dynamic range
+            # the f32 inner budget sees — it closed watt__1-class rows
+            # in the MM grid, and trying it BEFORE the expensive f64
+            # escalation keeps the pure-f32 mode alive on badly scaled
+            # problems (VERDICT r4 item 6, nos7)
+            import scipy.sparse as _sp
+
+            from ..formats import CSRMatrix as _CSR
+            d = np.abs(np.asarray(A.diagonal(), dtype=np.float64))
+            s = 1.0 / np.sqrt(np.where(d > 0, d, 1.0))
+            if not np.allclose(s, 1.0):
+                S = _sp.diags(s)
+                As = _CSR.from_scipy((S @ A.to_scipy() @ S).tocsr())
+                res_s = solve_refined(As, np.asarray(b) * s,
+                                      make_inner(As, jnp.float32),
+                                      tol=1e-8, max_rounds=8,
+                                      dtype=jnp.float32)
+                if res_s.converged:
+                    if not getattr(run, "_scale_announced", False):
+                        print(f"  [f32 refinement stalled at "
+                              f"relres={res.relres:.2e}; diagscaled f32 "
+                              f"retry converged]")
+                        run._scale_announced = True
+                    return _Res(x=np.asarray(res_s.x) * s,
+                                iters=res.inner_iters + res_s.inner_iters,
+                                relres=res_s.relres, converged=True)
+        if not res.converged:
             # precision escalation: conditioning beyond the f32-inner
             # budget (nos7-class, cond ~4e9: refinement gains <1 digit a
             # round and stalls).  Rerun with a device f64 inner solve —
@@ -262,4 +290,66 @@ def run_benchmark(datadir: str, solver_kind: str = "ilu",
         print(f"{len(ok)}/{len(results)} solved; "
               f"mean score {np.mean([r.score for r in ok]):.1f}"
               if ok else "no problems solved")
+    return results
+
+
+def corpus_problems(scale: int = 255):
+    """Generated benchmark corpus with the DIVERSITY of the reference's
+    SuiteSparse sweep (benchmark/input.dat, 235 problems) — no network
+    here, so the problem classes are matched instead of the files:
+    anisotropy (1e-3..1e3), jump coefficients (1e2..1e6),
+    convection-diffusion (nonsymmetric, 3 strengths), stretched grids,
+    3-D anisotropy, plus the isotropic Poisson baselines.  >= 20 scored
+    problems, >= 3 nonsymmetric (VERDICT r4 item 4)."""
+    from ..testgen import (anisotropic_2d, anisotropic_3d, convdiff_2d,
+                           jump_2d, poisson_2d, poisson_3d, stretched_2d)
+    n = scale
+    n3 = 31 if scale <= 255 else 47
+    probs = [
+        ("poisson2d", poisson_2d(n)),
+        ("poisson3d", poisson_3d(n3)),
+        ("aniso-x-1e1", anisotropic_2d(n, 1e-1)),
+        ("aniso-x-1e2", anisotropic_2d(n, 1e-2)),
+        ("aniso-x-1e3", anisotropic_2d(n, 1e-3)),
+        ("aniso-y-1e1", anisotropic_2d(n, 1e1)),
+        ("aniso-y-1e2", anisotropic_2d(n, 1e2)),
+        ("aniso-y-1e3", anisotropic_2d(n, 1e3)),
+        ("aniso3d-weak", anisotropic_3d(n3, 1e-2, 1e-2)),
+        ("aniso3d-mixed", anisotropic_3d(n3, 1e-2, 1e2)),
+        ("jump-1e2", jump_2d(n, 1e2)),
+        ("jump-1e4", jump_2d(n, 1e4)),
+        ("jump-1e6", jump_2d(n, 1e6)),
+        ("jump-inv-1e4", jump_2d(n, 1e-4)),
+        ("convdiff-mild", convdiff_2d(n, 10.0, 5.0)),
+        ("convdiff-strong", convdiff_2d(n, 100.0, 50.0)),
+        ("convdiff-grid", convdiff_2d(n, 2.0 * (n + 1), n + 1.0)),
+        ("stretched-1e1", stretched_2d(n, 1e1)),
+        ("stretched-1e2", stretched_2d(n, 1e2)),
+        ("stretched-1e3", stretched_2d(n, 1e3)),
+    ]
+    return [(name, A, A.matvec(np.ones(A.nrow))) for name, A in probs]
+
+
+def run_corpus(solver_kind: str = "amg", scale: int = 255
+               ) -> List[BenchResult]:
+    """Score the generated diversity corpus (lMVU-normalized, analog of
+    benchmark/main/benchmark.c:303 over input.dat)."""
+    _print_platform()
+    lmvu = compute_lmvu()
+    print(f"lMVU = {lmvu:.3e} s/row/iter")
+    solver = _solver_factory(solver_kind)
+    results = []
+    for name, A, b in corpus_problems(scale):
+        try:
+            r = score_problem(name, A, b, solver, lmvu)
+        except Exception as e:  # noqa: BLE001
+            from ..utils import messages
+            messages.warn(f"{name}: solver failed ({e})")
+            continue
+        results.append(r)
+        print(f"{r.name:16s} n={r.n:8d} nnz={r.nnz:9d} iters={r.iters:5d} "
+              f"t={r.solve_s:8.3f}s score={r.score:10.1f} "
+              f"{'ok' if r.converged else 'FAILED'}")
+    ok = [r for r in results if r.converged]
+    print(f"corpus: {len(ok)}/{len(results)} converged")
     return results

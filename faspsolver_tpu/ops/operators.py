@@ -78,6 +78,12 @@ def asdev(a, dtype=None):
     return jnp.asarray(arr)
 
 
+# working-set size (elements) above which 2-D constant stencils use the
+# double-buffered Pallas DMA kernel instead of XLA's fused shifted adds
+# (see StencilNdOperator._const_pallas_ok)
+_PALLAS_STENCIL_MIN_N = 1 << 24
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -575,7 +581,36 @@ class StencilNdOperator:
         return tuple(sum(c * k for c, k in zip(co, st))
                      for co in self.coords)
 
+    def _const_pallas_ok(self) -> bool:
+        """HBM-resident 2-D constant-coefficient stencils route to the
+        double-buffered Pallas kernel: past VMEM-sized working sets XLA's
+        fused shifted-add lowering re-reads x per operand (measured 0.54
+        of the stream ceiling at 67M dof) while the slab-DMA kernel pays
+        one x read + one y write.  Cache-resident sizes keep XLA (its
+        fusion measured faster there — CLAUDE.md)."""
+        if len(self.dims) != 2 or self.n < _PALLAS_STENCIL_MIN_N:
+            return False
+        if self.dtype != jnp.float32:
+            return False
+        if not all(getattr(b, "shape", None) == (1, 1)
+                   for b in self.bands):
+            return False
+        if not all(abs(c[0]) <= 1 and abs(c[1]) <= 1
+                   for c in self.coords):
+            return False
+        if self.dims[1] % 128 != 0:
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:       # noqa: BLE001 — backend probe only
+            return False
+
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self._const_pallas_ok():
+            from .pallas_kernels import const_stencil_apply_2d
+            consts = jnp.stack([b.reshape(1) for b in self.bands])
+            return const_stencil_apply_2d(consts, self.coords, self.dims,
+                                          x)
         v = x.reshape(self.dims)
         h = [max((abs(c[a]) for c in self.coords), default=0)
              for a in range(len(self.dims))]

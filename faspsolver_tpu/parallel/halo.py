@@ -287,7 +287,17 @@ def halo_shard_hierarchy(hier, mesh: Mesh, axis: str = "rows",
             halo_op = halo_from_bands(fb[1], fb[0], mesh,
                                       dtype=lvl.A.dtype, axis=axis)
         if halo_op is not None:
-            new_levels.append(_dc.replace(lvl_p, A=halo_op))
+            new_lvl = _dc.replace(lvl_p, A=halo_op)
+            # distributed banded transfers (general/RS path): the
+            # fpos embed/extract of BandedProlong/Restrict is an
+            # all-gather under GSPMD; the halo form exchanges only
+            # adjacent shard blocks (see halo_banded_transfer)
+            from ..precond.amg.transfer import BandedProlong
+            if isinstance(lvl.P, BandedProlong):
+                hb = halo_banded_transfer(lvl.P, mesh, axis)
+                if hb is not None:
+                    new_lvl = _dc.replace(new_lvl, P=hb[0], R=hb[1])
+            new_levels.append(new_lvl)
             comm_maps.append(halo_op.comm_map)
         else:
             new_levels.append(lvl_p)
@@ -332,3 +342,199 @@ def assert_neighbor_comm_only(hlo: str, fine_n: int) -> None:
             if elems >= fine_n // 2:
                 raise AssertionError(
                     f"fine-level-sized all-gather in cycle HLO: {line}")
+
+
+# ---------------------------------------------------------------------------
+# Distributed banded grid transfers (general/RS path).
+#
+# BandedProlong/BandedRestrict (precond/amg/transfer.py) pin coarse dof j
+# to its C-point's fine position fpos[j], turning P into static fine-space
+# shifts + an fpos embed/extract.  Under plain GSPMD the embed/extract is
+# an arbitrary permutation -> a fine-level-sized all-gather.  But fpos is
+# SORTED and C points are (near-)uniformly distributed, so the coarse
+# entries any fine shard embeds — and the fine rows any coarse shard
+# extracts — always live on the SAME or ADJACENT shards: the exchange is
+# two neighbor collective-permutes of one shard block, exactly the halo
+# pattern of the operator SpMV.  Indices are precomputed on host into
+# static per-shard tables (CommMap-style plan, fixed at setup).
+# ---------------------------------------------------------------------------
+
+
+def _nbr_ext(x_l, ax, ns):
+    """[left-neighbor block; local block; right-neighbor block] — ends
+    receive zeros (the matrix boundary's zero halo)."""
+    send_right = [(i, i + 1) for i in range(ns - 1)]
+    send_left = [(i, i - 1) for i in range(1, ns)]
+    from_left = jax.lax.ppermute(x_l, ax, send_right)
+    from_right = jax.lax.ppermute(x_l, ax, send_left)
+    return jnp.concatenate([from_left, x_l, from_right])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloBandedProlong:
+    """y_f = P x_c with neighbor-only comm: per fine shard, ppermute the
+    adjacent coarse blocks, embed the (host-planned) local C entries, and
+    apply the fine-space shift bands from the local slab + halo."""
+
+    w: jax.Array          # (k, nf) full band weights, sharded P(None, ax)
+    emb_pos: jax.Array    # (ns, M) int32 local fine positions (pad -> B)
+    emb_src: jax.Array    # (ns, M) int32 positions in the 3C ext block
+    shifts: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    nf: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(default="rows",
+                                  metadata=dict(static=True))
+    mesh: Mesh = dataclasses.field(default=None,
+                                   metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.nf, self.nc)
+
+    @property
+    def dtype(self):
+        return self.w.dtype
+
+    def _local(self, w_l, pos_l, src_l, xc_l):
+        ax = self.axis
+        ns = self.mesh.shape[ax]
+        B = self.nf // ns
+        xc_ext = _nbr_ext(xc_l, ax, ns)            # (3C,)
+        vals = xc_ext[src_l[0]]                    # (M,) local gather
+        xe_l = jnp.zeros(B + 1, xc_l.dtype).at[pos_l[0]].set(vals)[:B]
+        # banded part: shifts read the embedded vector across shard
+        # edges -> same halo exchange as the operator SpMV
+        h = max(max((abs(s) for s in self.shifts), default=0), 1)
+        send_right = [(i, i + 1) for i in range(ns - 1)]
+        send_left = [(i, i - 1) for i in range(1, ns)]
+        lh = jax.lax.ppermute(xe_l[B - h:], ax, send_right)
+        rh = jax.lax.ppermute(xe_l[:h], ax, send_left)
+        xp = jnp.concatenate([lh, xe_l, rh])       # (B + 2h,)
+        y = jnp.zeros(B, xc_l.dtype)
+        for k, s in enumerate(self.shifts):
+            y = y + w_l[k] * jax.lax.slice(xp, (h + s,), (h + s + B,))
+        return y
+
+    def __call__(self, xc: jax.Array) -> jax.Array:
+        fn = jax.shard_map(
+            self._local, mesh=self.mesh,
+            in_specs=(P(None, self.axis), P(self.axis), P(self.axis),
+                      P(self.axis)),
+            out_specs=P(self.axis))
+        return fn(self.w, self.emb_pos, self.emb_src, xc)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloBandedRestrict:
+    """y_c = P^T x_f off the same banded data: per-shard shifted
+    accumulation (with x halo), then each coarse shard extracts its
+    entries from the local + neighbor fine blocks."""
+
+    w: jax.Array          # (k, nf) sharded P(None, ax)
+    ext_src: jax.Array    # (ns, C) int32 positions in the 3B ext block
+    shifts: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    nf: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(default="rows",
+                                  metadata=dict(static=True))
+    mesh: Mesh = dataclasses.field(default=None,
+                                   metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.nc, self.nf)
+
+    @property
+    def dtype(self):
+        return self.w.dtype
+
+    def _local(self, w_l, src_l, xf_l):
+        ax = self.axis
+        ns = self.mesh.shape[ax]
+        B = self.nf // ns
+        h = max(max((abs(s) for s in self.shifts), default=0), 1)
+        send_right = [(i, i + 1) for i in range(ns - 1)]
+        send_left = [(i, i - 1) for i in range(1, ns)]
+        # ye[i] = sum_k w[k][i - s_k] * xf[i - s_k]: each term needs
+        # t = w*xf shifted INTO the slab, so exchange t's edges
+        t_edges_l = []
+        ye = jnp.zeros(B, xf_l.dtype)
+        tall = []
+        for k, s in enumerate(self.shifts):
+            tall.append(w_l[k] * xf_l)
+        tcat = jnp.stack(tall) if tall else jnp.zeros((0, B), xf_l.dtype)
+        lh = jax.lax.ppermute(tcat[:, B - h:], ax, send_right)
+        rh = jax.lax.ppermute(tcat[:, :h], ax, send_left)
+        for k, s in enumerate(self.shifts):
+            tp = jnp.concatenate([lh[k], tcat[k], rh[k]])
+            ye = ye + jax.lax.slice(tp, (h - s,), (h - s + B,))
+        ye_ext = _nbr_ext(ye, ax, ns)              # (3B,)
+        return ye_ext[src_l[0]]                    # (C,) local gather
+
+    def __call__(self, xf: jax.Array) -> jax.Array:
+        fn = jax.shard_map(
+            self._local, mesh=self.mesh,
+            in_specs=(P(None, self.axis), P(self.axis), P(self.axis)),
+            out_specs=P(self.axis))
+        return fn(self.w, self.ext_src, xf)
+
+
+def halo_banded_transfer(bp, mesh: Mesh, axis: str = "rows"):
+    """Build (HaloBandedProlong, HaloBandedRestrict) from a
+    :class:`~...precond.amg.transfer.BandedProlong` (remainder-free), or
+    None when the plan would need non-neighbor exchange (C points not
+    near-uniform) or shapes don't shard evenly."""
+    import numpy as _np
+
+    ns = mesh.shape[axis]
+    nf, nc = bp.n_fine, bp.n_coarse
+    if bp.has_rem or nf % ns or nc % ns:
+        return None
+    B, C = nf // ns, nc // ns
+    fpos = _np.asarray(bp.fpos).astype(_np.int64)
+    if _np.any(_np.diff(fpos) <= 0):
+        return None                        # plan needs sorted C pins
+    # per fine-shard embed plan
+    jlo = _np.searchsorted(fpos, _np.arange(ns) * B, side="left")
+    jhi = _np.searchsorted(fpos, (_np.arange(ns) + 1) * B, side="left")
+    M = int((jhi - jlo).max())
+    emb_pos = _np.full((ns, M), B, dtype=_np.int32)     # pad -> dropped
+    emb_src = _np.zeros((ns, M), dtype=_np.int32)
+    for s in range(ns):
+        j = _np.arange(jlo[s], jhi[s])
+        src = j - (s - 1) * C
+        if src.size and (src.min() < 0 or src.max() >= 3 * C):
+            return None                    # needs non-neighbor coarse data
+        emb_pos[s, : j.size] = (fpos[j] - s * B).astype(_np.int32)
+        emb_src[s, : j.size] = src.astype(_np.int32)
+    # per coarse-shard extract plan
+    ext_src = _np.zeros((ns, C), dtype=_np.int32)
+    for t in range(ns):
+        j = _np.arange(t * C, (t + 1) * C)
+        src = fpos[j] - (t - 1) * B
+        if src.size and (src.min() < 0 or src.max() >= 3 * B):
+            return None                    # needs non-neighbor fine data
+        ext_src[t] = src.astype(_np.int32)
+    # full band weights (materialize const lanes; same bytes as the
+    # operator's own bands)
+    if bp.const_mode:
+        from ..ops.operators import unpack_bits_np
+        w = _np.stack([_np.asarray(bp.wc)[k]
+                       * unpack_bits_np(_np.asarray(bp.wm)[k], nf)
+                       for k in range(len(bp.shifts))])
+        w = w.astype(_np.asarray(bp.wc).dtype)
+    else:
+        w = _np.asarray(bp.w)
+    shb = NamedSharding(mesh, P(None, axis))
+    shr = NamedSharding(mesh, P(axis))
+    w_d = jax.device_put(jnp.asarray(w), shb)
+    args = dict(shifts=tuple(bp.shifts), nf=nf, nc=nc, axis=axis,
+                mesh=mesh)
+    pro = HaloBandedProlong(
+        w=w_d, emb_pos=jax.device_put(jnp.asarray(emb_pos), shr),
+        emb_src=jax.device_put(jnp.asarray(emb_src), shr), **args)
+    res = HaloBandedRestrict(
+        w=w_d, ext_src=jax.device_put(jnp.asarray(ext_src), shr), **args)
+    return pro, res

@@ -70,6 +70,22 @@ def shard_rows(op: EllOperator, mesh: Mesh, axis: str = "rows"
                        target, target)
 
 
+def shard_block_rows(op, mesh: Mesh, axis: str = "rows"):
+    """Row-block shard a BSR block-ELL operator (block rows over the
+    mesh; the x gather's cross-shard reads lower to XLA collectives —
+    the GSPMD form of the SolBSR.c:349 SPE01 flow).  Block-row count
+    must divide the mesh axis."""
+    from ..ops.operators import BsrEllOperator
+    n_shards = mesh.shape[axis]
+    if op.nbrow % n_shards != 0:
+        raise ValueError("nbrow must divide the mesh axis for the dryrun")
+    shc = NamedSharding(mesh, P(axis, None))
+    shv = NamedSharding(mesh, P(axis, None, None, None))
+    return BsrEllOperator(jax.device_put(op.cols, shc),
+                          jax.device_put(op.vals, shv),
+                          op.nbrow, op.nbcol, op.nb)
+
+
 def shard_vector(x: jax.Array, mesh: Mesh, axis: str = "rows") -> jax.Array:
     """Row-shard a vector, padding to the shard multiple."""
     n_shards = mesh.shape[axis]

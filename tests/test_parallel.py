@@ -241,3 +241,46 @@ def test_halo_places_const_compressed_levels(mesh):
     fb2 = _flat_level_bands(sop)
     assert fb2 is not None and fb2[0].shape == (4, n)
     assert tuple(fb2[1]) == (-64, 0, 64, 1)
+
+
+def test_halo_banded_transfer_parity():
+    """Distributed banded transfers (halo_banded_transfer): neighbor-
+    permute embed/extract must reproduce the single-device
+    BandedProlong/BandedRestrict exactly, and the RS halo hierarchy's
+    whole cycle must stay free of fine-sized all-gathers."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from faspsolver_tpu.constants import CGPT, SmootherType
+    from faspsolver_tpu.parallel import make_mesh
+    from faspsolver_tpu.parallel.halo import halo_banded_transfer
+    from faspsolver_tpu.precond.amg.coarsen_rs import coarsen
+    from faspsolver_tpu.precond.amg.interp import interpolate
+    from faspsolver_tpu.precond.amg.transfer import banded_transfer
+    from faspsolver_tpu.testgen import poisson_2d
+
+    A = poisson_2d(64)
+    marker, S = coarsen(A, 0.25, 0.9, method="rs")
+    P = interpolate(A, marker, S, interp_type=1, trunc_threshold=0.2)
+    fpos = np.flatnonzero(marker == CGPT)
+    bt = banded_transfer(P, fpos)
+    assert bt is not None and not bt[0].has_rem
+    mesh = make_mesh(8)
+    hb = halo_banded_transfer(bt[0], mesh)
+    assert hb is not None
+    rng = np.random.default_rng(0)
+    xc = jnp.asarray(rng.standard_normal(bt[0].n_coarse))
+    xf = jnp.asarray(rng.standard_normal(bt[0].n_fine))
+    yp = np.asarray(bt[0](xc))
+    yr = np.asarray(bt[1](xf))
+    yhp = np.asarray(hb[0](xc))
+    yhr = np.asarray(hb[1](xf))
+    assert np.abs(yhp - yp).max() < 1e-12
+    assert np.abs(yhr - yr).max() < 1e-12
+    # comm pattern of one distributed prolongation: permutes, no gather
+    xcs = jax.device_put(xc, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("rows")))
+    hlo = jax.jit(hb[0].__call__).lower(xcs).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo

@@ -39,9 +39,12 @@ SOLVER_MAP = {"GMRes": "GMRES", "VGMRes": "vGMRES", "VFGMRes": "vFGMRES",
 
 
 def parse_reference(path=REF_OUT):
-    """{(matrix, config): (ok, maxdiff)} from the reference transcript."""
+    """{(matrix, config): (ok, maxdiff, iters)} from the reference
+    transcript.  iters is -1 when the run printed no iteration count
+    (e.g. instant breakdown)."""
     out = {}
     matrix = fam = solver = None
+    iters = -1
     for line in open(path, errors="replace"):
         line = line.rstrip("\n")
         m = re.match(r"Test Problem Number (\d+)", line)
@@ -55,6 +58,11 @@ def parse_reference(path=REF_OUT):
         m = re.match(r"Calling (\S+) solver", line)
         if m:
             solver = SOLVER_MAP.get(m.group(1), m.group(1))
+            iters = -1
+            continue
+        m = re.search(r"(?:Number of iterations = |MaxIt = )(\d+)", line)
+        if m:
+            iters = int(m.group(1))
             continue
         m = re.search(r"Max diff ([\d.eE+-]+) (smaller|BIGGER)", line)
         if m and matrix and solver is not None and fam is not None:
@@ -62,7 +70,8 @@ def parse_reference(path=REF_OUT):
             if fam == "AMG solver":
                 cfg = "AMG solver"
             out[(matrix, cfg)] = (m.group(2) == "smaller",
-                                  float(m.group(1)))
+                                  float(m.group(1)), iters)
+            iters = -1
     return out
 
 
@@ -92,7 +101,7 @@ def main():
         r = ref.get((matrix, cfg))
         if r is None:
             return None
-        ok, md = r
+        ok, md = r[0], r[1]
         return f"ref: {'PASS' if ok else 'ATTENTION'} (maxdiff {md:.1e})"
 
     # ---- annotate our golden's ATTENTION rows with the ref counterpart
@@ -163,6 +172,26 @@ def main():
                      f"{'PASS' if r['ok'] else 'ATTENTION'} | "
                      f"{r['maxdiff']} | {rs} | {rm} |")
         L.append("")
+    # ---- ILU iteration-count parity (VERDICT r4 item 9): AMG counts
+    # are tracked in STATUS; ILU drop-rule drift was invisible.  Pair
+    # every ILU-family row's iteration count with the reference's.
+    L.append("## ILU iteration-count parity\n")
+    L.append("Iteration counts for the ILU families (drop-rule drift "
+             "shows up here before it shows up in maxdiff; ILUt/ILUtp "
+             "nnz patterns legitimately differ — STATUS 'Known "
+             "deviations' — so counts are tracked, not asserted).  "
+             "ref=-1 means the reference printed no count.\n")
+    L.append("| matrix | config | ours iters | ref iters |")
+    L.append("|---|---|---|---|")
+    for mx in allm:
+        for r in by_matrix.get(mx, []):
+            if "ILU" not in r["cfg"]:
+                continue
+            rr = ref_by_matrix.get(mx, {}).get(r["cfg"])
+            ri = rr[2] if rr and len(rr) > 2 else None
+            L.append(f"| {mx} | {r['cfg']} | {r['iters']} | "
+                     f"{ri if ri is not None else chr(8212)} |")
+    L.append("")
     with open(PARITY, "w") as f:
         f.write("\n".join(L) + "\n")
     print(f"wrote {PARITY} and annotated {OUR_OUT}")
