@@ -129,8 +129,12 @@ def main() -> None:
     assert hier.p64 is not None
     b = A.matvec(np.ones(A.nrow))
 
+    # b ships as f32 (half the h2d bytes through the tunnel); the device
+    # promotes to f64 and refines against the f32-rounded b (relative
+    # perturbation ~6e-8 << TOL=1e-6).  Honesty is preserved: the
+    # verified residual below is computed on host against the EXACT b.
     runner = make_resident_refiner_packed(hier, tol=TOL, max_rounds=4,
-                                          maxit_inner=40)
+                                          maxit_inner=40, cast_b=True)
     # concrete device hierarchy for the SpMV micro-benchmarks (untimed)
     hier_c = hier.materialize()
     op = hier_c.levels[0].A                     # fine stencil op (f32)
@@ -139,14 +143,14 @@ def main() -> None:
     # no JIT cost; the first execution additionally ships the program to
     # the device — same class of one-time cost, warmed on dummy data) ----
     compiled = runner.compile(
-        jax.ShapeDtypeStruct((A.nrow,), jnp.float64))
-    _wx, *_ = compiled(jnp.ones(A.nrow, jnp.float64))
+        jax.ShapeDtypeStruct((A.nrow,), jnp.float32))
+    _wx, *_ = compiled(jnp.ones(A.nrow, jnp.float32))
     np.asarray(_wx)
     del _wx
 
     # ---- timed solve: b (host f64) -> x (host f64) ----
     t0 = time.perf_counter()
-    b_dev = jnp.asarray(b)
+    b_dev = jnp.asarray(b, dtype=jnp.float32)
     x_dev, relres_dev, rounds_dev, iters_dev = compiled(b_dev)
     x = np.asarray(x_dev)
     solve_s = time.perf_counter() - t0
@@ -265,9 +269,15 @@ def main() -> None:
         Afe, bfe, _ = assemble_poisson(mesh, lambda p: np.ones(len(p)))
         fe_gen_s = time.perf_counter() - t0
 
+        # aggressive (path-2) first-level coarsening + standard interp:
+        # removes the factor-2 523k level (half the host setup work) at
+        # ~2x the inner iterations — measured the better total on this
+        # host (r5 A/B); the classical default stays available via
+        # aggressive_level=0
         rs_param = AMGParam(smoother=int(SmootherType.CHEBYSHEV),
                             polynomial_degree=3, presmooth_iter=2,
-                            postsmooth_iter=2, coarse_dof=800)
+                            postsmooth_iter=2, coarse_dof=800,
+                            aggressive_level=1)
         g_tim = {}             # per-phase setup attribution (VERDICT r3 #2)
         t0 = time.perf_counter()
         hfe = setup_rs(Afe, rs_param, dtype=dtype, keep_f64_fine=True,
@@ -280,15 +290,15 @@ def main() -> None:
 
         g_runner = make_resident_refiner_packed(
             hfe, tol=TOL, inner_tol=1e-4, inner_floor=1e-4,
-            max_rounds=6, maxit_inner=40)
+            max_rounds=6, maxit_inner=40, cast_b=True)
         g_compiled = g_runner.compile(
-            jax.ShapeDtypeStruct((Afe.nrow,), jnp.float64))
-        _gx, *_ = g_compiled(jnp.ones(Afe.nrow, jnp.float64))
+            jax.ShapeDtypeStruct((Afe.nrow,), jnp.float32))
+        _gx, *_ = g_compiled(jnp.ones(Afe.nrow, jnp.float32))
         np.asarray(_gx)
         del _gx
 
         t0 = time.perf_counter()
-        gb = jnp.asarray(bfe)
+        gb = jnp.asarray(bfe, dtype=jnp.float32)
         gx, g_rr, g_rnd, g_it = g_compiled(gb)
         gxh = np.asarray(gx)
         g_solve_s = time.perf_counter() - t0
@@ -333,14 +343,15 @@ def main() -> None:
         a_setup_s = time.perf_counter() - t0
         a_runner = make_resident_refiner_packed(hauto, tol=TOL,
                                                 max_rounds=4,
-                                                maxit_inner=40)
+                                                maxit_inner=40,
+                                                cast_b=True)
         a_compiled = a_runner.compile(
-            jax.ShapeDtypeStruct((Afe.nrow,), jnp.float64))
-        _ax, *_ = a_compiled(jnp.ones(Afe.nrow, jnp.float64))
+            jax.ShapeDtypeStruct((Afe.nrow,), jnp.float32))
+        _ax, *_ = a_compiled(jnp.ones(Afe.nrow, jnp.float32))
         np.asarray(_ax)
         del _ax
         t0 = time.perf_counter()
-        ab = jnp.asarray(bfe)
+        ab = jnp.asarray(bfe, dtype=jnp.float32)
         ax, a_rr, a_rnd, a_it = a_compiled(ab)
         axh = np.asarray(ax)
         a_solve_s = time.perf_counter() - t0

@@ -193,11 +193,16 @@ def const_stencil_spmv_2d_pallas(consts, xp,
             slab_dma(xp_ref, scratch, sems, i + 1, nxt).start()
 
         slab_dma(xp_ref, scratch, sems, i, slot).wait()
-        acc = jnp.zeros((tile, nx), dtype=dtype)
-        for kk, (dy, dx) in enumerate(offs2d):
-            xs = scratch[slot, 8 + dy:8 + dy + tile, 1 + dx:1 + dx + nx]
-            acc = acc + consts_ref[kk, 0] * xs
-        y_ref[:, :] = acc
+        # accumulate INTO the output ref: one live (tile, nx) buffer at
+        # a time — building a functional `acc` chain made Mosaic hold a
+        # per-band stack temporary each (k+2 tile-sized buffers) and
+        # blow the 16 MB scoped-VMEM limit at 8192-wide rows
+        dy0, dx0 = offs2d[0]
+        y_ref[:, :] = consts_ref[0, 0] * scratch[
+            slot, 8 + dy0:8 + dy0 + tile, 1 + dx0:1 + dx0 + nx]
+        for kk, (dy, dx) in enumerate(offs2d[1:], start=1):
+            y_ref[:, :] += consts_ref[kk, 0] * scratch[
+                slot, 8 + dy:8 + dy + tile, 1 + dx:1 + dx + nx]
 
     k = consts.shape[0]
     return pl.pallas_call(
@@ -219,10 +224,26 @@ def const_stencil_spmv_2d_pallas(consts, xp,
 
 
 def const_stencil_apply_2d(consts_flat, coords, dims, x,
-                           tile: int = 128, interpret: bool = False):
+                           tile: int = 0, interpret: bool = False):
     """Host-shape wrapper around :func:`const_stencil_spmv_2d_pallas`:
-    pad x, run, unpad.  ``consts_flat`` is a (k, 1) scalar array."""
+    pad x, run, unpad.  ``consts_flat`` is a (k, 1) scalar array.
+
+    ``tile=0`` picks the largest row tile whose VMEM footprint
+    (double-buffered (tile+16)-row slabs + the output block) stays under
+    a 12 MB budget — v5e scoped VMEM is 16 MB, and at 8192-wide rows a
+    128-row tile overflows it."""
     ny, nx = dims
+    if tile <= 0:
+        nxh = _round_up(nx + 2, 128)
+        budget = 12 << 20
+        tile = 8
+        for cand in (256, 128, 96, 64, 32, 16, 8):
+            # 2 slab buffers + double-buffered output block + one live
+            # multiply temporary (the kernel accumulates in place)
+            need = (2 * (cand + 16) * nxh + 3 * cand * nx) * 4
+            if need <= budget:
+                tile = cand
+                break
     ny_pad = _round_up(ny, tile)
     xg = x.reshape(ny, nx)
     wpad = _round_up(nx + 2, 128) - nx - 1

@@ -342,8 +342,29 @@ def mm_configs() -> List[Tuple[str, Callable]]:
     ]
     cache: dict = {}
 
+    # stronger ILU factors for the rescue ladder ("ILU fill tuning",
+    # VERDICT r4 item 3 — maxit/tol budgets stay the reference's)
+    strong_fb = {
+        " + ILUk": lambda A: setup_ilu(A, ILUParam(
+            ILU_type=int(ILUType.ILUK), ILU_lfil=8)),
+        " + ILUt": lambda A: setup_ilu(A, ILUParam(
+            ILU_type=int(ILUType.ILUT), ILU_droptol=1e-5)),
+        " + ILUtp": lambda A: setup_ilu(A, ILUParam(
+            ILU_type=int(ILUType.ILUTP), ILU_droptol=1e-5,
+            ILU_permtol=0.05)),
+    }
+
     def mk(label, solver, kw, fname, fbuild):
+        def attempt(A, b, build):
+            op = device_operator(A, prefer="ell")
+            M = build(A) if build else None
+            return solver(op, jnp.asarray(b), M=M, tol=1e-15,
+                          maxit=100, **kw)
+
         def run(A, b):
+            import dataclasses as _dc
+
+            import scipy.sparse as sp
             key = (id(A), fname)
             if key not in cache:
                 # one matrix in flight at a time: drop the previous
@@ -354,23 +375,56 @@ def mm_configs() -> List[Tuple[str, Callable]]:
                     del cache[k]
                 cache[key] = fbuild(A)
             op = device_operator(A, prefer="ell")
-            return solver(op, jnp.asarray(b), M=cache[key], tol=1e-15,
-                          maxit=100, **kw)
-        # default symmetric diagonal scaling (VERDICT r4 item 3): an
-        # a-priori, config-independent preprocessing step of OUR solver
-        # surface (the reference ships the same transform as
-        # fasp_dcsr_symdiagscale, BlaSparseCSR.c, just not wired into
-        # regression_mm).  Budgets are untouched (maxit=100, tol=1e-15);
-        # this closed watt__1-class rows in round 3 and is what "better
-        # default scaling" means here.
-        return (label, _diagscaled(run))
+            res = solver(op, jnp.asarray(b), M=cache[key], tol=1e-15,
+                         maxit=100, **kw)
+
+            def true_rr(r):
+                x = np.asarray(r.x)
+                return float(np.linalg.norm(b - A.matvec(x))
+                             / max(np.linalg.norm(b), 1e-300))
+
+            if true_rr(res) <= 1e-9:
+                return res
+            # RESCUE LADDER (VERDICT r4 item 3): the first attempt
+            # failed, so retry (a) symmetric-diagonally scaled
+            # (fasp_dcsr_symdiagscale analog) and, for ILU families,
+            # (b) scaled + stronger factorization.  Same solver, same
+            # maxit/tol budgets; the best attempt BY TRUE RESIDUAL is
+            # returned — the same try-then-fall-back character as the
+            # reference's own SolAMG safe-GMRES fallback
+            # (SolAMG.c:128-135).  Rows that pass on the first attempt
+            # are returned untouched, so this is pointwise never worse
+            # than the single-attempt grid.
+            best, best_rr, note = res, true_rr(res), ""
+            d = np.abs(A.diagonal())
+            s = 1.0 / np.sqrt(np.where(d > 0, d, 1.0))
+            S = sp.diags(s)
+            As = CSRMatrix.from_scipy((S @ A.to_scipy() @ S).tocsr())
+            bs = np.asarray(b) * s
+            ladder = [("rescued: diagscaled", fbuild)]
+            if fname in strong_fb:
+                ladder.append(("rescued: diagscaled+strongILU",
+                               strong_fb[fname]))
+            for tag, build in ladder:
+                try:
+                    r2 = attempt(As, bs, build)
+                except Exception:   # noqa: BLE001 — rescue only
+                    continue
+                r2 = _dc.replace(r2, x=jnp.asarray(np.asarray(r2.x) * s))
+                rr2 = true_rr(r2)
+                if rr2 < best_rr:
+                    best, best_rr, note = r2, rr2, tag
+            if note:
+                best = (best, note)
+            return best
+        return (label, run)
 
     cfgs: List[Tuple[str, Callable]] = []
     for fname, fbuild in fams:
         for sname, solver, kw in solvers:
             cfgs.append(mk(sname + fname, solver, kw, fname, fbuild))
-    cfgs.append(("AMG solver", _diagscaled(lambda A, b: _run_amg_solver(
-        A, b, AMGParam(maxit=20, tol=1e-10)))))
+    cfgs.append(("AMG solver", lambda A, b: _run_amg_solver(
+        A, b, AMGParam(maxit=20, tol=1e-10))))
     # --- beyond-reference closers (round 3): symmetric diagonal scaling
     # solves the conditioning-limited matrices the raw grid cannot ---
     cfgs += [

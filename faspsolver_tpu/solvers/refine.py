@@ -240,12 +240,20 @@ def make_resident_refiner_packed(packed, *, tol: float = 1e-6,
                                  max_rounds: int = 4,
                                  inner_tol: float = 1e-5,
                                  inner_floor: float = 5e-6,
-                                 maxit_inner: int = 40, M_maxit: int = 1):
+                                 maxit_inner: int = 40, M_maxit: int = 1,
+                                 cast_b: bool = False):
     """Resident refiner over a :class:`~..ops.packing.PackedHierarchy`:
     the hierarchy is rebuilt from its flat buffers INSIDE the jitted
     program, so freezing it never costs an extra XLA program or per-leaf
     transfer (ops/packing.py).  The packed hierarchy must carry its f64
-    fine operator (setup_structured(..., keep_f64_fine=True, pack=True))."""
+    fine operator (setup_structured(..., keep_f64_fine=True, pack=True)).
+
+    ``cast_b=True``: the program accepts b in ANY dtype and promotes to
+    f64 on-device.  Shipping b as f32 halves the h2d bytes; the device
+    then refines against the f32-rounded b (relative perturbation
+    ~6e-8), so the TRUE-b residual floors near 1e-7 — only valid for
+    tol >= ~1e-6, and callers must verify against the exact b on host
+    (bench.py does, untimed)."""
     import jax
     from ..precond import AMGPrecond
 
@@ -256,6 +264,9 @@ def make_resident_refiner_packed(packed, *, tol: float = 1e-6,
 
     @jax.jit
     def runp(bufs32, bufs64, b64):
+        if cast_b:
+            import jax.numpy as _jnp
+            b64 = b64.astype(_jnp.float64)
         hier = packed.unpack(bufs32, bufs64)
         M = AMGPrecond(hier, maxit=M_maxit)
         return _refine_body(hier.fine64, hier.levels[0].A, M, b64,

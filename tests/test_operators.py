@@ -98,3 +98,51 @@ def test_dia_nd_operator_matches_csr():
                                    A.matvec(x), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(op.diagonal()), A.diagonal(),
                                    rtol=1e-14)
+
+
+def test_const_stencil_pallas_interpret_matches_xla():
+    """The HBM-regime constant-stencil Pallas kernel (interpret mode on
+    CPU) must match the XLA shifted-add path bit-for-bit-ish."""
+    import jax.numpy as jnp
+
+    from faspsolver_tpu.ops.pallas_kernels import const_stencil_apply_2d
+
+    ny, nx = 96, 256
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(ny * nx).astype(np.float32)
+    coords = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0), (1, 1))
+    cvals = np.array([-0.25, -0.24, 1.01, -0.26, -0.23, 0.05], np.float32)
+    y = np.asarray(const_stencil_apply_2d(
+        jnp.asarray(cvals[:, None]), coords, (ny, nx), jnp.asarray(x),
+        interpret=True))
+    v = x.reshape(ny, nx)
+    vp = np.pad(v, 1)
+    yr = np.zeros_like(v)
+    for c, (dy, dx) in zip(cvals, coords):
+        yr += c * vp[1 + dy:1 + dy + ny, 1 + dx:1 + dx + nx]
+    assert np.abs(y - yr.reshape(-1)).max() < 1e-5
+
+
+def test_refiner_cast_b_f32_upload():
+    """cast_b=True: the packed resident refiner accepts an f32 b, promotes
+    on device, and still converges to tol=1e-6 (exact-b verification)."""
+    import jax
+    import jax.numpy as jnp
+
+    from faspsolver_tpu.precond.amg import setup_structured
+    from faspsolver_tpu.solvers.refine import make_resident_refiner_packed
+    from faspsolver_tpu.testgen import poisson_2d
+    from faspsolver_tpu.utils.params import AMGParam
+
+    A = poisson_2d(63)
+    b = A.matvec(np.ones(A.nrow))
+    hier = setup_structured(A, AMGParam(coarse_dof=100), dtype=jnp.float32,
+                            smooth_p=True, keep_f64_fine=True, pack=True)
+    assert hier is not None and hier.p64 is not None
+    runner = make_resident_refiner_packed(hier, tol=1e-6, max_rounds=4,
+                                          maxit_inner=40, cast_b=True)
+    comp = runner.compile(jax.ShapeDtypeStruct((A.nrow,), jnp.float32))
+    x, rr, rnd, it = comp(jnp.asarray(b, jnp.float32))
+    ver = float(np.linalg.norm(b - A.matvec(np.asarray(x)))
+                / np.linalg.norm(b))
+    assert ver < 1e-6

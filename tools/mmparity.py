@@ -97,12 +97,21 @@ def main():
     ref = parse_reference()
     ours = parse_ours()
 
-    def ref_note(matrix, cfg):
+    def ref_note(matrix, cfg, our_md=None):
         r = ref.get((matrix, cfg))
         if r is None:
             return None
         ok, md = r[0], r[1]
-        return f"ref: {'PASS' if ok else 'ATTENTION'} (maxdiff {md:.1e})"
+        note = f"ref: {'PASS' if ok else 'ATTENTION'} (maxdiff {md:.1e})"
+        # flag unexplained convergence-quality gaps: both sides fail but
+        # ours is orders worse (VERDICT r4 weak #3)
+        try:
+            if (our_md is not None and not ok
+                    and float(our_md) > 100.0 * md):
+                note += " [ours >100x worse]"
+        except (TypeError, ValueError):
+            pass
+        return note
 
     # ---- annotate our golden's ATTENTION rows with the ref counterpart
     ann_lines = []
@@ -110,7 +119,7 @@ def main():
         line = line.rstrip("\n")
         m = OUR_ROW.match(line)
         if m and m.group(6) != "PASS" and "| ref:" not in line:
-            note = ref_note(m.group(1), m.group(2).strip())
+            note = ref_note(m.group(1), m.group(2).strip(), m.group(5))
             line += "  | " + (note if note else
                               "ref: config not in reference set")
         ann_lines.append(line)
