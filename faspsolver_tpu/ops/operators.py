@@ -595,6 +595,12 @@ class StencilNdOperator:
         if not all(getattr(b, "shape", None) == (1, 1)
                    for b in self.bands):
             return False
+        if len(self.bands) < 3:
+            # 1-2 band ops are pure streaming: XLA's fused elementwise
+            # lowering reaches ~242 GB/s on the 67M probe vs the DMA
+            # kernel's ~160 — the kernel only wins when XLA would
+            # re-read x per shifted operand (k >= 3)
+            return False
         if not all(abs(c[0]) <= 1 and abs(c[1]) <= 1
                    for c in self.coords):
             return False

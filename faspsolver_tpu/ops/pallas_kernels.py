@@ -155,9 +155,17 @@ def const_stencil_spmv_2d_pallas(consts, xp,
     pass over x (slab-streamed into VMEM with a one-row halo, double-
     buffered DMA) and ONE pass over y — the speed-of-light traffic for
     any matvec.  XLA's fused lowering of the same op re-reads x once per
-    shifted operand at working sets past VMEM (measured 0.54 of the
-    stream ceiling at 67M dof); this kernel exists to close that gap
-    (VERDICT r4 item 2; reference kernel-of-record: BlaSpmvCSR.c:242).
+    shifted operand at working sets past VMEM; this kernel closes part
+    of that gap (VERDICT r4 item 2; reference kernel-of-record:
+    BlaSpmvCSR.c:242).
+
+    Measured on the tunneled v5e at 8192^2 f32 (counted 2n*4B): this
+    kernel 158 GB/s vs XLA's 131 on the 5-point apply (+21%); deeper
+    pipelines (3-4 slots), larger tiles (VMEM-capped at 16 MB/core),
+    and an auto-pipelined BlockSpec variant all measured the same ~158,
+    while XLA's PURE-STREAM elementwise op reaches 242 — so dispatch is
+    gated to k >= 3 bands, where XLA's re-reads lose more than the DMA
+    path's ~160 GB/s ceiling costs.
 
     consts: (k, 1) scalar coefficients; xp: (8 + ny_pad + 8, nxh)
     zero-padded input (8-row top pad for DMA sublane alignment, 1 halo
@@ -251,3 +259,5 @@ def const_stencil_apply_2d(consts_flat, coords, dims, x,
     y = const_stencil_spmv_2d_pallas(consts_flat, xp, tuple(coords),
                                      ny, nx, tile, interpret=interpret)
     return y[:ny].reshape(-1)
+
+
