@@ -1144,3 +1144,33 @@ def device_operator(A, dtype=None, prefer: Optional[str] = None):
     if prefer == "ell" or ell.padding_ratio(A.nnz) <= _ELL_PADDING_LIMIT:
         return ell
     return CooOperator.from_csr(A, dtype=dtype)
+
+
+def expand_compressed(op):
+    """Materialize a compressed (scalar x bitmask) operator into plain
+    banded form — TRACEABLE, meant to run ONCE at the top of a jitted
+    solve program.  The compressed forms unpack their bitmasks inside
+    ``__call__``; traced inside a Krylov ``while_loop`` that unpacking
+    re-runs EVERY iteration (XLA does not reliably hoist loop-invariant
+    bit-unpacking out of while bodies), costing milliseconds per cycle
+    at 100k+ rows.  Expanding first keeps the pack/upload savings while
+    the solve reads plain bands.  Returns the operator unchanged when
+    there is nothing to expand."""
+    if isinstance(op, ConstDiaOperator):
+        bands = jnp.stack([
+            op.consts[k] * unpack_bits(op.masks[k], op.n, op.dtype)
+            for k in range(len(op.offsets))])
+        return DiaOperator(bands, op.offsets, op.n)
+    if isinstance(op, SumOperator):
+        parts = tuple(expand_compressed(p) for p in op.parts)
+        # merge adjacent DIA parts so the apply is one banded pass
+        if (len(parts) == 2 and isinstance(parts[0], DiaOperator)
+                and isinstance(parts[1], DiaOperator)):
+            a, b = parts
+            return DiaOperator(jnp.concatenate([a.bands, b.bands]),
+                               a.offsets + b.offsets, a.n)
+        return SumOperator(parts=parts)
+    if isinstance(op, HybridDiaOperator):
+        return HybridDiaOperator(dia=expand_compressed(op.dia),
+                                 rem=op.rem)
+    return op

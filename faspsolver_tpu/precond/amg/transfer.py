@@ -455,3 +455,16 @@ def csr_transfer(P: CSRMatrix, dtype=None, share: bool = True):
     r, c, v = asdev(rows), asdev(cols), asdev(vals)
     return (CooProlong(r, c, v, nf, nc),
             CooRestrict(r, c, v, nf, nc))
+
+
+def expand_compressed_transfer(t):
+    """Materialize a const-mode banded transfer's scalar x bitmask lanes
+    into a plain weight array (see ops.operators.expand_compressed: the
+    per-apply unpack re-runs inside Krylov while_loops)."""
+    import dataclasses as _dc
+    if isinstance(t, (BandedProlong, BandedRestrict)) and t.const_mode:
+        from ...ops.operators import unpack_bits
+        w = jnp.stack([t.wc[k] * unpack_bits(t.wm[k], t.n_fine, t.dtype)
+                       for k in range(len(t.shifts))])
+        return _dc.replace(t, w=w, wc=None, wm=None, const_mode=False)
+    return t

@@ -236,6 +236,28 @@ def _resident_refine_fn(tol_, inner_tol, inner_floor, max_rounds,
     return run
 
 
+def _expand_hierarchy(hier):
+    """Materialize compressed (scalar x bitmask) operator/transfer leaves
+    ONCE at program start: traced inside the Krylov while_loop their
+    bit-unpacking re-runs every iteration (XLA does not reliably hoist
+    it out of while bodies), measured at multiple ms/cycle on 100k+
+    levels.  Runs inside jit; pack/upload savings are untouched."""
+    import dataclasses as _dc
+
+    from ..ops.operators import expand_compressed
+    from ..precond.amg.transfer import expand_compressed_transfer as _ect
+    levels = tuple(
+        _dc.replace(
+            l, A=expand_compressed(l.A),
+            Asm=(expand_compressed(l.Asm) if l.Asm is not None else None),
+            P=(_ect(l.P) if l.P is not None else None),
+            R=(_ect(l.R) if l.R is not None else None))
+        for l in hier.levels)
+    f64 = (expand_compressed(hier.fine64)
+           if hier.fine64 is not None else None)
+    return _dc.replace(hier, levels=levels, fine64=f64)
+
+
 def make_resident_refiner_packed(packed, *, tol: float = 1e-6,
                                  max_rounds: int = 4,
                                  inner_tol: float = 1e-5,
@@ -267,7 +289,7 @@ def make_resident_refiner_packed(packed, *, tol: float = 1e-6,
         if cast_b:
             import jax.numpy as _jnp
             b64 = b64.astype(_jnp.float64)
-        hier = packed.unpack(bufs32, bufs64)
+        hier = _expand_hierarchy(packed.unpack(bufs32, bufs64))
         M = AMGPrecond(hier, maxit=M_maxit)
         return _refine_body(hier.fine64, hier.levels[0].A, M, b64,
                             tol_, it_, if_, mr_, mi_)
