@@ -32,6 +32,16 @@ _CR_MAX = 0.99    # cos(8 deg)  (reference: KryPvgmres.c:79)
 _CR_MIN = 0.174   # cos(80 deg) (reference: KryPvgmres.c:80)
 _RESTART_MIN = 3
 _RESTART_DEC = 3
+# stagnation bail-out: consecutive restart cycles whose true-residual
+# reduction is below _STAG_FACTOR end the solve with ERROR_SOLVER_STAG
+# (-42), the GMRES analog of the reference's stagnation safeguards
+# (KryUtil.inl ITS_* checks).  Without it a solve pinned at the f32
+# residual floor burns the entire maxit budget inside ONE compiled
+# while_loop — at maxit=2000/restart=60 that is a ~70 s device program,
+# long enough to trip the TPU runtime's execution watchdog and take the
+# worker down (observed on v5e).
+_STAG_FACTOR = 0.995
+_MAX_STAG_CYCLES = 4
 
 
 def gmres(A, b, x0=None, M=None, *, tol=1e-6, abstol=1e-18, maxit=500,
@@ -90,7 +100,7 @@ def _gmres(A, M, b, x0, tol, abstol, maxit, R: int, stop_type: int,
         it=jnp.int32(0), x=x0, r=r0, r_norm=r_norm0,
         r_norm_old=r_norm0, relres=relres0, normu=normu0,
         cur_restart=jnp.int32(R), cycles=jnp.int32(0),
-        done=already, status=jnp.int32(0),
+        done=already, status=jnp.int32(0), stag=jnp.int32(0),
         best_x=x0, best_relres=relres0)
 
     def arnoldi_cycle(x, r, r_norm, cur_restart, it_start):
@@ -201,12 +211,19 @@ def _gmres(A, M, b, x0, tol, abstol, maxit, R: int, stop_type: int,
         else:
             cur = s["cur_restart"]
 
-        done = (relres < tol) | (steps == 0)
+        stagnant = relres > _STAG_FACTOR * s["relres"]
+        stag = jnp.where(stagnant, s["stag"] + 1, jnp.int32(0))
+        # within 4x of tol the tail is allowed to crawl (a genuinely
+        # slow last digit is not a floor stall)
+        stalled = (stag >= _MAX_STAG_CYCLES) & (relres > 4.0 * tol)
+        done = (relres < tol) | (steps == 0) | stalled
         new = dict(it=it, x=x, r=r, r_norm=r_norm, r_norm_old=s["r_norm"],
                    relres=relres,
                    normu=normu if stop_type == StopType.MOD_REL_RES
                    else s["normu"], cur_restart=cur,
-                   cycles=s["cycles"] + 1, done=done, status=jnp.int32(0),
+                   cycles=s["cycles"] + 1, done=done,
+                   status=jnp.where(stalled, jnp.int32(-42),
+                                    jnp.int32(0)), stag=stag,
                    best_x=s["best_x"], best_relres=s["best_relres"])
         if safe:
             # best-iterate tracking per restart cycle (reference:
