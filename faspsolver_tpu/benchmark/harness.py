@@ -143,10 +143,13 @@ def _refined_factory(kind: str):
             M = None
 
         def inner(r, tl):
+            # inner budgets bounded so a floor-stalled solve cannot
+            # become a minutes-long single device program (watchdog
+            # territory); refinement rounds + rescues supply the depth
             if kind == "cg":
-                return pcg(op, r, M=M, tol=tl, maxit=2000,
+                return pcg(op, r, M=M, tol=tl, maxit=500,
                            max_stag=2, max_restart=2)
-            return vgmres(op, r, M=M, tol=tl, maxit=2000, restart=60)
+            return vgmres(op, r, M=M, tol=tl, maxit=400, restart=60)
         return inner
 
     def run(A, b):

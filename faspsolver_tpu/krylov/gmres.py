@@ -101,6 +101,7 @@ def _gmres(A, M, b, x0, tol, abstol, maxit, R: int, stop_type: int,
         r_norm_old=r_norm0, relres=relres0, normu=normu0,
         cur_restart=jnp.int32(R), cycles=jnp.int32(0),
         done=already, status=jnp.int32(0), stag=jnp.int32(0),
+        stag_best=relres0,
         best_x=x0, best_relres=relres0)
 
     def arnoldi_cycle(x, r, r_norm, cur_restart, it_start):
@@ -211,8 +212,13 @@ def _gmres(A, M, b, x0, tol, abstol, maxit, R: int, stop_type: int,
         else:
             cur = s["cur_restart"]
 
-        stagnant = relres > _STAG_FACTOR * s["relres"]
+        # stagnation vs the BEST residual seen: comparing against the
+        # previous cycle alone lets a wobbling plateau (0.99x, 1.01x,
+        # 0.99x, ...) reset the counter forever — the floor-stalled
+        # solve must IMPROVE on its best by >0.5% to stay alive
+        stagnant = relres > _STAG_FACTOR * s["stag_best"]
         stag = jnp.where(stagnant, s["stag"] + 1, jnp.int32(0))
+        stag_best = jnp.minimum(s["stag_best"], relres)
         # within 4x of tol the tail is allowed to crawl (a genuinely
         # slow last digit is not a floor stall)
         stalled = (stag >= _MAX_STAG_CYCLES) & (relres > 4.0 * tol)
@@ -224,6 +230,7 @@ def _gmres(A, M, b, x0, tol, abstol, maxit, R: int, stop_type: int,
                    cycles=s["cycles"] + 1, done=done,
                    status=jnp.where(stalled, jnp.int32(-42),
                                     jnp.int32(0)), stag=stag,
+                   stag_best=stag_best,
                    best_x=s["best_x"], best_relres=s["best_relres"])
         if safe:
             # best-iterate tracking per restart cycle (reference:
