@@ -62,9 +62,11 @@ def dia_spmv_2d_pallas(bands2d, xp, offs2d: Tuple[Tuple[int, int], ...],
             scratch.at[slot], sems.at[slot])
 
     def kernel(xp_ref, bands_ref, y_ref, scratch, sems):
-        i = pl.program_id(0)
-        n = pl.num_programs(0)
-        two = jnp.asarray(2, i.dtype)
+        # int32 throughout: under jax_enable_x64 program ids trace as
+        # i64 and Mosaic rejects i64 memref indices
+        i = jnp.int32(pl.program_id(0))
+        n = jnp.int32(pl.num_programs(0))
+        two = jnp.int32(2)
         slot = jax.lax.rem(i, two)
         nxt = jax.lax.rem(i + 1, two)
 
@@ -186,9 +188,11 @@ def const_stencil_spmv_2d_pallas(consts, xp,
             scratch.at[slot], sems.at[slot])
 
     def kernel(consts_ref, xp_ref, y_ref, scratch, sems):
-        i = pl.program_id(0)
-        n = pl.num_programs(0)
-        two = jnp.asarray(2, i.dtype)
+        # int32 throughout: under jax_enable_x64 program ids trace as
+        # i64 and Mosaic rejects i64 memref indices
+        i = jnp.int32(pl.program_id(0))
+        n = jnp.int32(pl.num_programs(0))
+        two = jnp.int32(2)
         slot = jax.lax.rem(i, two)
         nxt = jax.lax.rem(i + 1, two)
 
@@ -256,8 +260,13 @@ def const_stencil_apply_2d(consts_flat, coords, dims, x,
     xg = x.reshape(ny, nx)
     wpad = _round_up(nx + 2, 128) - nx - 1
     xp = jnp.pad(xg, ((8, 8 + ny_pad - ny), (1, wpad)))
-    y = const_stencil_spmv_2d_pallas(consts_flat, xp, tuple(coords),
-                                     ny, nx, tile, interpret=interpret)
+    # under jax_enable_x64 Pallas canonicalizes ref indices to i64 and
+    # Mosaic rejects them ('tpu.memref_slice ... must be 32-bit'); the
+    # kernel is f32/i32 arithmetic regardless, so trace it with x64 off
+    with jax.enable_x64(False):
+        y = const_stencil_spmv_2d_pallas(consts_flat, xp, tuple(coords),
+                                         ny, nx, tile,
+                                         interpret=interpret)
     return y[:ny].reshape(-1)
 
 
